@@ -1,0 +1,114 @@
+"""Image loading and pre-processing for the MVS pipelines.
+
+Covers the reference's image I/O surface: plain 0-1 float reads
+(/root/reference/datasets/dtu_yao.py:64-68), binary masks
+(/root/reference/eval.py:136-144), and the rescale + center-crop-to-x32 +
+intrinsics-adjust preprocessing used by the unified eval loader
+(/root/reference/datasets/data_io.py:76-154) including the grayscale->3ch
+stacking for B&W bin-picking cameras.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from PIL import Image
+
+BASE_IMAGE_SIZE = 32  # feature net downsamples x4; U-Net adds x8 => dims % 32 == 0
+
+
+def read_img(filename: str) -> np.ndarray:
+    """Read an image as float32 scaled to [0, 1]. Shape (H, W[, C])."""
+    img = Image.open(filename)
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def read_mask(filename: str) -> np.ndarray:
+    """Read a binary mask: pixel > 0.5 after 0-1 scaling."""
+    return read_img(filename) > 0.5
+
+
+def save_mask(filename: str, mask: np.ndarray) -> None:
+    """Save a boolean mask as an 8-bit PNG (255 = True)."""
+    if mask.dtype != np.bool_:
+        raise ValueError(f"mask dtype must be bool, got {mask.dtype}")
+    Image.fromarray(mask.astype(np.uint8) * 255).save(filename)
+
+
+def save_image_u8(filename: str, img01: np.ndarray) -> None:
+    """Save a float [0,1] image (H,W[,C]) as an 8-bit PNG."""
+    arr = np.clip(np.asarray(img01), 0.0, 1.0)
+    Image.fromarray((arr * 255.0).astype(np.uint8)).save(filename)
+
+
+def read_rescale_crop_img(
+    img_fname: str,
+    intrinsics: np.ndarray,
+    img_res: tuple[int, int] = (512, 640),
+    DEBUG: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Load an image, rescale to cover ``img_res``, center-crop to dimensions
+    that are multiples of 32, and adjust ``intrinsics`` to match.
+
+    Matches /root/reference/datasets/data_io.py:76-154 step for step:
+      1. resize so the larger relative scale wins (image covers the target),
+      2. scale intrinsics rows 0-1 by the same factor,
+      3. crop each dim either to the target (if the rescaled dim overshoots)
+         or down to the next multiple of 32, centered,
+      4. shift the principal point by the crop offset,
+      5. grayscale inputs are stacked to 3 channels.
+
+    ``intrinsics`` is modified in place (reference behavior) and also
+    returned. Upscaling is rejected.
+    """
+    img = Image.open(img_fname)
+    w_src, h_src = img.size  # PIL reports (width, height)
+
+    h_target, w_target = img_res
+    h_scale = float(h_target) / h_src
+    w_scale = float(w_target) / w_src
+    if h_scale > 1 or w_scale > 1:
+        raise ValueError(
+            f"{img_fname}: target {img_res} exceeds source ({h_src},{w_src}); "
+            "image resolution can only be reduced"
+        )
+    resize_scale = max(h_scale, w_scale)
+
+    img_rescaled = img.resize(
+        (int(w_src * resize_scale), int(h_src * resize_scale)),
+        resample=Image.BILINEAR,
+    )
+    w_rescaled, h_rescaled = img_rescaled.size
+
+    intrinsics[:2, :] *= resize_scale
+
+    final_h = (
+        h_target
+        if h_rescaled > h_target
+        else int(math.floor(h_target / BASE_IMAGE_SIZE) * BASE_IMAGE_SIZE)
+    )
+    final_w = (
+        w_target
+        if w_rescaled > w_target
+        else int(math.floor(w_target / BASE_IMAGE_SIZE) * BASE_IMAGE_SIZE)
+    )
+
+    start_h = int(math.floor((h_rescaled - final_h) / 2))
+    start_w = int(math.floor((w_rescaled - final_w) / 2))
+    img_cropped = img_rescaled.crop((start_w, start_h, start_w + final_w, start_h + final_h))
+
+    intrinsics[0, -1] -= start_w
+    intrinsics[1, -1] -= start_h
+
+    np_img = np.asarray(img_cropped, dtype=np.float32) / 255.0
+    if np_img.ndim == 2:  # B&W camera: replicate to 3 channels
+        np_img = np.dstack((np_img, np_img, np_img))
+
+    if DEBUG:
+        print(
+            f"[read_rescale_crop_img] {img_fname}: src=({h_src},{w_src}) "
+            f"scale={resize_scale:.4f} crop=({start_h},{start_w})+"
+            f"({final_h},{final_w}) out={np_img.shape}"
+        )
+    return np_img, intrinsics

@@ -1,0 +1,98 @@
+"""Streaming plane-sweep cost-volume construction.
+
+The variance cost volume Var = E[x^2] - E[x]^2 over views is an *additive*
+reduction: the running sum and sum-of-squares are accumulated one warped view
+at a time, so only a single [B, D, H, W, C] warped volume is ever live —
+the TPU-native version of the reference's in-place accumulation trick
+(/root/reference/models/mvsnet.py:145-177). Views are streamed with
+``lax.scan``; depth planes can additionally be chunked (each chunk's sweep is
+independent) to bound HBM at large eval resolutions, where the full volume is
+~2.9 GB in f32 (SURVEY.md §3.3 memory note).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .sampling import warp_src_feature
+
+
+def _sweep_variance_chunk(
+    features: jnp.ndarray,
+    proj_matrices: jnp.ndarray,
+    depth_chunk: jnp.ndarray,
+    align_corners: bool,
+) -> jnp.ndarray:
+    """Variance volume for one chunk of depth planes.
+
+    features: [B, V, H, W, C] (view 0 = reference), proj: [B, V, 4, 4],
+    depth_chunk: [B, Dc] -> [B, Dc, H, W, C].
+    """
+    B, V, H, W, C = features.shape
+    Dc = depth_chunk.shape[1]
+
+    ref_fea = features[:, 0]
+    ref_proj = proj_matrices[:, 0]
+
+    # Reference view enters the accumulators unwarped, broadcast over depth
+    # (/root/reference/models/mvsnet.py:145-147).
+    ref_volume = jnp.broadcast_to(ref_fea[:, None], (B, Dc, H, W, C))
+    init = (ref_volume, ref_volume * ref_volume)
+
+    src_feas = jnp.moveaxis(features[:, 1:], 1, 0)  # [V-1, B, H, W, C]
+    src_projs = jnp.moveaxis(proj_matrices[:, 1:], 1, 0)  # [V-1, B, 4, 4]
+
+    def body(carry, xs):
+        vol_sum, vol_sq = carry
+        src_fea, src_proj = xs
+        warped = warp_src_feature(
+            src_fea, src_proj, ref_proj, depth_chunk, align_corners=align_corners
+        )
+        return (vol_sum + warped, vol_sq + warped * warped), None
+
+    (vol_sum, vol_sq), _ = jax.lax.scan(body, init, (src_feas, src_projs))
+    inv_v = jnp.asarray(1.0 / V, dtype=vol_sum.dtype)
+    mean = vol_sum * inv_v
+    return vol_sq * inv_v - mean * mean
+
+
+def cost_volume_variance(
+    features: jnp.ndarray,
+    proj_matrices: jnp.ndarray,
+    depth_values: jnp.ndarray,
+    depth_chunk: int | None = None,
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Variance cost volume over views.
+
+    Args:
+      features: [B, V, H, W, C] per-view feature maps; view 0 is the
+        reference view.
+      proj_matrices: [B, V, 4, 4] K@E per view.
+      depth_values: [B, D] depth hypotheses.
+      depth_chunk: if set (must divide D), sweep depth planes in chunks of
+        this size via ``lax.scan`` to bound peak HBM; None sweeps all planes
+        at once.
+      align_corners: sampler convention, see ops.sampling.
+
+    Returns: [B, D, H, W, C] variance volume.
+    """
+    B, V, H, W, C = features.shape
+    D = depth_values.shape[1]
+
+    if depth_chunk is None or depth_chunk >= D:
+        return _sweep_variance_chunk(features, proj_matrices, depth_values, align_corners)
+
+    if D % depth_chunk != 0:
+        raise ValueError(f"depth_chunk {depth_chunk} must divide D={D}")
+    n_chunks = D // depth_chunk
+    chunks = depth_values.reshape(B, n_chunks, depth_chunk)
+    chunks = jnp.moveaxis(chunks, 1, 0)  # [n_chunks, B, Dc]
+
+    def body(_, depth_c):
+        out = _sweep_variance_chunk(features, proj_matrices, depth_c, align_corners)
+        return None, out
+
+    _, vols = jax.lax.scan(body, None, chunks)  # [n_chunks, B, Dc, H, W, C]
+    return jnp.moveaxis(vols, 0, 1).reshape(B, D, H, W, C)

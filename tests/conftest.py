@@ -1,0 +1,33 @@
+"""Test configuration: force a virtual 8-device CPU mesh so unit and
+sharding tests run without TPU hardware (SURVEY.md §4 implication (e)).
+
+The axon TPU PJRT plugin registers itself from sitecustomize at interpreter
+start and eagerly initializes the TPU backend before any conftest runs,
+so JAX_PLATFORMS in the environment is ineffective here. Instead we flip the
+platform selection and clear the initialized backends; the next backend
+lookup re-reads XLA_FLAGS and comes up as 8 virtual CPU devices.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+from jax._src import xla_bridge
+
+jax.config.update("jax_platforms", "cpu")
+if xla_bridge.backends_are_initialized():
+    xla_bridge._clear_backends()
+
+assert jax.default_backend() == "cpu", jax.devices()
+assert jax.device_count() == 8, jax.devices()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
