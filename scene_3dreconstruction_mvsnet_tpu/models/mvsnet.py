@@ -1,0 +1,119 @@
+"""MVSNet: end-to-end multi-view-stereo depth network, assembled TPU-first.
+
+Pipeline parity with /root/reference/models/mvsnet.py:91-239:
+  1. per-view 2D feature extraction (views folded into the batch axis — one
+     big NHWC conv stack on the MXU instead of the reference's per-view
+     Python loop),
+  2. differentiable homography plane sweep -> variance cost volume, streamed
+     over views with lax.scan (ops/plane_sweep.py) so a single warped volume
+     is live at a time,
+  3. 3D U-Net regularization (CostRegNet, NDHWC),
+  4. fused softmax depth regression + windowed photometric confidence
+     (ops/regression.py; Pallas kernel on TPU),
+  5. optional residual refinement (RefineNet; fixed versus the reference's
+     broken dead code, default off).
+
+Inputs are channels-last: imgs [B, V, H, W, 3] (view 0 = reference view),
+proj_matrices [B, V, 4, 4] (K@E at feature resolution, i.e. intrinsics/4),
+depth_values [B, D].
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.plane_sweep import cost_volume_variance
+from ..ops.regression import regress_depth_and_confidence
+from .cost_reg_net import CostRegNet
+from .feature_net import FeatureNet
+from .refine_net import RefineNet
+
+
+class MVSNet(nn.Module):
+    """Flax MVSNet.
+
+    Attributes:
+      refine: enable the RefineNet residual head (reference default False;
+        its shipped configs never enable it).
+      depth_chunk: optional chunk size for the plane sweep depth axis to
+        bound peak HBM at large eval resolutions (None = all planes at once).
+      use_pallas_regression: dispatch the fused Pallas TPU kernel for
+        softmax regression + confidence instead of the XLA composite.
+      dtype: computation dtype for the conv stacks (bf16 = TPU fast path;
+        None = f32 for bit-parity eval). Params are always f32.
+      align_corners: sampler convention; False matches the reference under
+        PyTorch 2.x (see ops/sampling.py).
+    """
+
+    refine: bool = False
+    depth_chunk: Optional[int] = None
+    use_pallas_regression: bool = False
+    dtype: Any = None
+    align_corners: bool = False
+
+    def setup(self):
+        self.feature = FeatureNet(dtype=self.dtype)
+        self.cost_regularization = CostRegNet(dtype=self.dtype)
+        if self.refine:
+            self.refine_network = RefineNet(dtype=self.dtype)
+
+    def __call__(
+        self,
+        imgs: jnp.ndarray,
+        proj_matrices: jnp.ndarray,
+        depth_values: jnp.ndarray,
+        train: bool = False,
+    ) -> dict[str, jnp.ndarray]:
+        B, V, H, W, C = imgs.shape
+        if proj_matrices.shape[1] != V:
+            raise ValueError(
+                f"got {V} images but {proj_matrices.shape[1]} projection matrices"
+            )
+
+        # Step 1: feature extraction, views folded into batch.
+        feats = self.feature(imgs.reshape(B * V, H, W, C), train=train)
+        feats = feats.reshape(B, V, H // 4, W // 4, feats.shape[-1])
+
+        # Step 2: plane-sweep variance cost volume [B, D, H/4, W/4, 32].
+        volume = cost_volume_variance(
+            feats.astype(jnp.float32),
+            proj_matrices.astype(jnp.float32),
+            depth_values.astype(jnp.float32),
+            depth_chunk=self.depth_chunk,
+            align_corners=self.align_corners,
+        )
+        if self.dtype is not None:
+            volume = volume.astype(self.dtype)
+
+        # Step 3: 3D U-Net regularization -> [B, D, h, w].
+        cost_reg = self.cost_regularization(volume, train=train)[..., 0]
+
+        # Step 4: softmax regression + confidence (f32 for a stable softmax).
+        depth, confidence = regress_depth_and_confidence(
+            cost_reg.astype(jnp.float32),
+            depth_values.astype(jnp.float32),
+            use_pallas=self.use_pallas_regression,
+        )
+
+        outputs = {"depth": depth, "photometric_confidence": confidence}
+        if self.refine:
+            outputs["refined_depth"] = self.refine_network(
+                imgs[:, 0], depth, train=train
+            )
+        return outputs
+
+
+def mvsnet_loss(
+    depth_est: jnp.ndarray, depth_gt: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Masked smooth-L1 (Huber, beta=1) loss, mean over valid pixels —
+    matches F.smooth_l1_loss over mask>0.5 (/root/reference/models/mvsnet.py:242-244)."""
+    valid = (mask > 0.5).astype(depth_est.dtype)
+    diff = jnp.abs(depth_est - depth_gt)
+    per_pixel = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5)
+    total = jnp.sum(per_pixel * valid)
+    count = jnp.maximum(jnp.sum(valid), 1.0)
+    return total / count
