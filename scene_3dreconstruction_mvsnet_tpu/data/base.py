@@ -1,0 +1,83 @@
+"""Dataset base class and shared camera-file logic.
+
+All datasets return dict samples of numpy arrays in channels-last layout
+(imgs [V, H, W, 3]); the reference's channels-first layout is a torch
+convention with no TPU benefit. Field names and semantics otherwise match
+the reference's sample dicts (SURVEY.md §1 L1):
+
+train/val/test:  {imgs, proj_matrices, depth, depth_values, mask}
+eval:            {imgs, proj_matrices, depth_values, filename
+                  [, intrinsics, extrinsics]}
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+
+from ..io.cams import read_cam_file, read_pair_file
+from ..io.pfm import read_pfm
+from ..io.images import read_img
+
+
+class MVSDatasetBase:
+    """Map-style dataset: __len__ + __getitem__ -> dict of numpy arrays."""
+
+    def __init__(
+        self,
+        datapath: str,
+        listfile: str,
+        mode: str,
+        nviews: int,
+        ndepths: int = 192,
+        interval_scale: float = 1.06,
+        **kwargs: Any,
+    ) -> None:
+        self.datapath = datapath
+        self.listfile = listfile
+        self.mode = mode
+        self.nviews = nviews
+        self.ndepths = ndepths
+        self.interval_scale = interval_scale
+        self.pairfile = kwargs.get("pairfile", "pair.txt")
+        self.kwargs = kwargs
+        self.metas: list = []
+
+    # -- shared helpers ----------------------------------------------------
+    def read_scan_list(self) -> list[str]:
+        with open(self.listfile) as f:
+            return [line.rstrip() for line in f.readlines() if line.strip()]
+
+    def read_cam(self, filename: str):
+        return read_cam_file(filename, interval_scale=self.interval_scale)
+
+    @staticmethod
+    def compose_proj(intrinsics: np.ndarray, extrinsics: np.ndarray) -> np.ndarray:
+        proj = extrinsics.copy()
+        proj[:3, :4] = intrinsics @ proj[:3, :4]
+        return proj
+
+    @staticmethod
+    def read_img(filename: str) -> np.ndarray:
+        return read_img(filename)
+
+    @staticmethod
+    def read_depth(filename: str) -> np.ndarray:
+        return np.asarray(read_pfm(filename)[0], dtype=np.float32)
+
+    def read_pairs(self, pair_path: str):
+        return read_pair_file(pair_path)
+
+    # -- protocol ----------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.metas)
+
+    def __getitem__(self, idx: int) -> dict:
+        raise NotImplementedError
+
+    @staticmethod
+    def stack_views(imgs: list[np.ndarray]) -> np.ndarray:
+        """[V] list of HxWx3 -> [V, H, W, 3] float32 (channels-last)."""
+        return np.stack(imgs).astype(np.float32)

@@ -1,0 +1,178 @@
+"""Host-side input pipeline: batching, shuffling, threaded prefetch, and
+device transfer.
+
+TPU-native replacement for the reference's
+``DataLoader(..., num_workers=10)`` (/root/reference/train.py:117-118):
+samples are decoded on host threads (PIL/numpy release the GIL for the
+heavy parts), batched into numpy, and double-buffered onto the device with
+``jax.device_put`` so the accelerator never waits on the host.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Iterator
+
+import numpy as np
+
+
+def _collate(samples: list[dict]) -> dict:
+    """Stack a list of sample dicts into a batch dict. Non-array fields
+    (e.g. 'filename') become lists."""
+    out: dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(vals[0], (int, float, np.floating, np.integer)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+class Loader:
+    """Minimal map-style data loader.
+
+    Args:
+      dataset: object with __len__ / __getitem__ -> dict sample.
+      batch_size: samples per batch.
+      shuffle: reshuffle indices each epoch (seeded, advances per epoch).
+      drop_last: drop the trailing partial batch.
+      num_workers: >0 decodes samples on a thread pool with bounded
+        lookahead; 0 decodes inline.
+      seed: shuffle seed.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 0,
+        seed: int = 0,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self._rng = np.random.RandomState(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._index_order()
+        self._epoch += 1
+        n = len(order)
+        ends = n - (n % self.batch_size) if self.drop_last else n
+        batches = [
+            order[i : i + self.batch_size] for i in range(0, ends, self.batch_size)
+        ]
+        if not batches:
+            return
+
+        if self.num_workers <= 0:
+            for idxs in batches:
+                yield _collate([self.dataset[int(i)] for i in idxs])
+            return
+
+        # Threaded: keep ~2 batches of samples in flight.
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            lookahead = max(2 * self.batch_size, self.num_workers)
+            flat = [int(i) for idxs in batches for i in idxs]
+            futures = collections.deque()
+            it = iter(flat)
+            for _ in range(min(lookahead, len(flat))):
+                futures.append(pool.submit(self.dataset.__getitem__, next(it)))
+            done: list = []
+            for idxs in batches:
+                while len(done) < len(idxs):
+                    done.append(futures.popleft().result())
+                    nxt = next(it, None)
+                    if nxt is not None:
+                        futures.append(pool.submit(self.dataset.__getitem__, nxt))
+                yield _collate(done[: len(idxs)])
+                done = done[len(idxs):]
+
+
+def prefetch_to_device(iterator: Iterator[dict], size: int = 2, device=None) -> Iterator[dict]:
+    """Double-buffer host batches onto the device: the next transfer is
+    issued while the current step computes."""
+    import jax
+
+    queue: collections.deque = collections.deque()
+
+    def put(batch):
+        return {
+            k: (jax.device_put(v, device) if isinstance(v, np.ndarray) else v)
+            for k, v in batch.items()
+        }
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
+class BackgroundLoader:
+    """Wrap a Loader's iteration in a producer thread so host decode fully
+    overlaps device compute (single-process answer to worker processes)."""
+
+    def __init__(self, loader: Loader, max_queue: int = 2) -> None:
+        self.loader = loader
+        self.max_queue = max_queue
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def __iter__(self):
+        sentinel = object()
+        q: collections.deque = collections.deque()
+        lock = threading.Condition()
+        err: list[BaseException] = []
+
+        def produce():
+            try:
+                for batch in self.loader:
+                    with lock:
+                        while len(q) >= self.max_queue:
+                            lock.wait()
+                        q.append(batch)
+                        lock.notify_all()
+            except BaseException as e:  # propagate into consumer
+                err.append(e)
+            finally:
+                with lock:
+                    q.append(sentinel)
+                    lock.notify_all()
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            with lock:
+                while not q:
+                    lock.wait()
+                item = q.popleft()
+                lock.notify_all()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item

@@ -1,0 +1,219 @@
+"""Data-layer tests: loaders on synthetic fixture trees, pipeline batching,
+and a physics check — plane-sweep photometric inference on the synthetic rig
+must recover the analytic depth."""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from scene_3dreconstruction_mvsnet_tpu.data import (
+    find_dataset_def,
+    Loader,
+    BackgroundLoader,
+)
+from scene_3dreconstruction_mvsnet_tpu.data.synthetic import (
+    SyntheticRig,
+    make_blender_tree,
+    make_dtu_tree,
+    make_eval_tree,
+    write_scan_list,
+)
+from scene_3dreconstruction_mvsnet_tpu.ops import (
+    cost_volume_variance,
+    regress_depth_and_confidence,
+)
+
+
+@pytest.fixture(scope="module")
+def rig():
+    return SyntheticRig(n_views=4, img_hw=(64, 96))
+
+
+@pytest.fixture(scope="module")
+def blender_root(tmp_path_factory, rig):
+    root = tmp_path_factory.mktemp("blender_ds")
+    # cam files written for 16 hypotheses: depth_min/interval span the
+    # analytic range exactly when the dataset also loads ndepths=16
+    make_blender_tree(str(root), scan="scene_000", n_lights=3, rig=rig, ndepths=16)
+    write_scan_list(str(root / "train.txt"), ["scene_000"])
+    return str(root)
+
+
+def test_registry_unknown_raises():
+    with pytest.raises(KeyError):
+        find_dataset_def("nope")
+
+
+def test_blender_dataset(blender_root, rig):
+    MVSDataset = find_dataset_def("blender")
+    ds = MVSDataset(
+        blender_root, os.path.join(blender_root, "train.txt"), "train",
+        nviews=3, ndepths=16, interval_scale=1.0, Nlights="2:3", seed=0,
+    )
+    # 4 viewpoints x 2 sampled lights
+    assert len(ds) == 8
+    s = ds[0]
+    assert s["imgs"].shape == (3, 64, 96, 3)
+    assert s["proj_matrices"].shape == (3, 4, 4)
+    assert s["depth"].shape == (16, 24)
+    assert s["mask"].shape == (16, 24)
+    assert s["depth_values"].shape == (16,)
+    # depth values bracket the analytic depth range
+    lo, hi = rig.depth_range()
+    assert s["depth_values"][0] < lo and s["depth_values"][-1] > hi
+    # loader's /4 intrinsics: fx in proj = K/4 @ E
+    np.testing.assert_allclose(s["proj_matrices"][0][0, 0], rig.K[0, 0] / 4, rtol=1e-5)
+
+
+def test_blender_nlights_modes(blender_root):
+    MVSDataset = find_dataset_def("blender")
+    ds0 = MVSDataset(blender_root, os.path.join(blender_root, "train.txt"),
+                     "train", 2, 8, 1.0, Nlights="0:3")
+    assert len(ds0) == 4 and all(m[1] == 0 for m in ds0.metas)
+    dsn = MVSDataset(blender_root, os.path.join(blender_root, "train.txt"),
+                     "train", 2, 8, 1.0, Nlights="-2:3")
+    assert all(m[1] == 2 for m in dsn.metas)
+    dsv = MVSDataset(blender_root, os.path.join(blender_root, "train.txt"),
+                     "val", 2, 8, 1.0, Nlights="3:3", seed=1)
+    assert len(dsv.metas) == 8  # 2 sampled lights per viewpoint
+
+
+def test_dtu_dataset(tmp_path, rig):
+    root = tmp_path / "dtu"
+    make_dtu_tree(str(root), scan="scan1", rig=rig)
+    write_scan_list(str(root / "train.txt"), ["scan1"])
+    MVSDataset = find_dataset_def("dtu_yao")
+    ds = MVSDataset(str(root), str(root / "train.txt"), "train", 3, ndepths=16,
+                    interval_scale=1.0)
+    assert len(ds) == 4 * 7
+    s = ds[0]
+    assert s["imgs"].shape == (3, 64, 96, 3)
+    assert s["depth"].shape == (16, 24)
+    # dtu cam files already at feature scale -> fx/4 in proj
+    np.testing.assert_allclose(s["proj_matrices"][0][0, 0], rig.K[0, 0] / 4, rtol=1e-5)
+    # analytic depth: loaded quarter-res depth equals rig.depth_map(scale=4)
+    np.testing.assert_allclose(s["depth"], rig.depth_map(0, scale=4), rtol=1e-4)
+
+
+def test_eval_dataset(tmp_path, rig):
+    root = tmp_path / "eval"
+    make_eval_tree(str(root), scan="scan1", rig=rig)
+    write_scan_list(str(root / "test.txt"), ["scan1"])
+    MVSDataset = find_dataset_def("dataloader_eval")
+    ds = MVSDataset(
+        str(root), str(root / "test.txt"), "test", nviews=3, ndepths=16,
+        interval_scale=1.0, cam_subfolder="Cameras",
+        img_subfolder="Rectified/{}/rect_C{:0>3}_L00.png",
+        img_res=rig.img_hw, dataset_name="bds8",
+    )
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["imgs"].shape == (3, 64, 96, 3)
+    assert s["intrinsics"].shape == (3, 3, 3)
+    assert s["extrinsics"].shape == (3, 4, 4)
+    assert s["filename"] == "scan1/{}/00000000{}"
+
+
+def test_loader_batching(blender_root):
+    MVSDataset = find_dataset_def("blender")
+    ds = MVSDataset(blender_root, os.path.join(blender_root, "train.txt"),
+                    "train", 2, 8, 1.0, Nlights="0:3")
+    loader = Loader(ds, batch_size=3, shuffle=True, drop_last=True, seed=0)
+    assert len(loader) == 1
+    batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0]["imgs"].shape == (3, 2, 64, 96, 3)
+
+    loader2 = Loader(ds, batch_size=3, drop_last=False, num_workers=2)
+    sizes = [b["imgs"].shape[0] for b in loader2]
+    assert sizes == [3, 1]
+
+    bg = BackgroundLoader(Loader(ds, batch_size=2))
+    assert [b["imgs"].shape[0] for b in bg] == [2, 2]
+
+
+def test_loader_threaded_matches_inline(blender_root):
+    MVSDataset = find_dataset_def("blender")
+    ds = MVSDataset(blender_root, os.path.join(blender_root, "train.txt"),
+                    "train", 2, 8, 1.0, Nlights="0:3")
+    inline = list(Loader(ds, batch_size=2, num_workers=0))
+    threaded = list(Loader(ds, batch_size=2, num_workers=3))
+    for a, b in zip(inline, threaded):
+        np.testing.assert_array_equal(a["imgs"], b["imgs"])
+
+
+def _rig_projs(rig, feature_scale=1.0):
+    projs = []
+    for v in range(rig.n_views):
+        K = rig.K.copy()
+        K[:2, :] *= feature_scale
+        E = rig.extrinsics(v)
+        P = E.copy()
+        P[:3, :4] = K @ E[:3, :4]
+        projs.append(P)
+    return np.stack(projs)[None].astype(np.float32)
+
+
+def test_rig_reprojection_consistency():
+    """Exact geometry check: sampling the src rendering at the projection of
+    ref pixels through the analytic depth must reproduce the ref rendering
+    (up to bilinear interpolation error of the smooth texture)."""
+    from scene_3dreconstruction_mvsnet_tpu.ops import bilinear_sample_2d
+
+    rig = SyntheticRig(n_views=2, img_hw=(64, 96))
+    projs = _rig_projs(rig)[0]
+    ref_img, src_img = rig.render(0), rig.render(1)
+    H, W = rig.img_hw
+    d = rig.depth_map(0).reshape(-1)
+    xs, ys = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    rel = projs[1] @ np.linalg.inv(projs[0])
+    pts = rel[:3, :3] @ (np.stack([xs.reshape(-1), ys.reshape(-1), np.ones(H * W)]) * d)
+    pts = pts + rel[:3, 3:4]
+    xy = pts[:2] / pts[2]
+
+    sampled = np.asarray(
+        bilinear_sample_2d(
+            jnp.asarray(src_img[None]),
+            jnp.asarray(xy[0][None].astype(np.float32)),
+            jnp.asarray(xy[1][None].astype(np.float32)),
+        )
+    )[0, :, 0].reshape(H, W)
+    inb = (
+        (xy[0] >= 1) & (xy[0] <= W - 2) & (xy[1] >= 1) & (xy[1] <= H - 2)
+    ).reshape(H, W)
+    err = np.abs(sampled - ref_img[..., 0])[inb]
+    assert err.mean() < 5e-3, err.mean()
+
+
+def test_plane_sweep_recovers_synthetic_depth():
+    """Photometric plane sweep on raw image intensities (no CNN): argmin of
+    the variance volume must match the analytic depth — validates rig
+    geometry + warp + sweep end to end. Uses a wide-baseline rig at full
+    resolution so a depth interval moves the reprojection by >0.2 px."""
+    rig = SyntheticRig(n_views=4, img_hw=(64, 96), baseline=8.0)
+    projs = _rig_projs(rig)
+    imgs = np.stack([rig.render(v) for v in range(rig.n_views)])[None]
+
+    lo, hi = rig.depth_range()
+    D = 32
+    dv = np.linspace(lo - 1.0, hi + 1.0, D, dtype=np.float32)[None]
+
+    var = cost_volume_variance(
+        jnp.asarray(imgs.astype(np.float32)), jnp.asarray(projs), jnp.asarray(dv)
+    )  # [1,D,H,W,3]
+    best = np.asarray(jnp.argmin(jnp.mean(var, axis=-1), axis=1))[0]
+    depth = dv[0][best]
+
+    gt = rig.depth_map(0)
+    interval = float(dv[0, 1] - dv[0, 0])
+    # crop to the region covered by ALL source views: cameras sit at +x, so
+    # ref pixels left of fx*3*baseline/z (~40 px) reproject outside the
+    # farthest source and the zeros padding corrupts their variance
+    sl = np.s_[2:-2, 44:-2]
+    err = np.abs(depth[sl] - gt[sl])
+    # sub-pixel disparity per interval bounds resolvability to ~2 intervals;
+    # exact geometry is covered by test_rig_reprojection_consistency
+    assert np.median(err) <= 2 * interval, (np.median(err), interval)
+    assert np.mean(err < 4 * interval) > 0.85, np.mean(err < 4 * interval)
