@@ -32,14 +32,17 @@ def _window4_sum_depth(prob_volume: jnp.ndarray) -> jnp.ndarray:
     """Sliding-window sum of 4 along the depth axis with (1, 2) zero padding.
 
     Equivalent to the reference's ``4 * avg_pool3d(pad(p, (1,2) on D),
-    (4,1,1))`` (/root/reference/models/mvsnet.py:216)."""
-    return jax.lax.reduce_window(
-        prob_volume,
-        init_value=jnp.array(0.0, prob_volume.dtype),
-        computation=jax.lax.add,
-        window_dimensions=(1, 4, 1, 1),
-        window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (1, 2), (0, 0), (0, 0)),
+    (4,1,1))`` (/root/reference/models/mvsnet.py:216). Implemented as four
+    shifted slices of the zero-padded volume — XLA fuses the adds, and the
+    formulation is trivially differentiable (lax.reduce_window with a
+    custom monoid is not)."""
+    padded = jnp.pad(prob_volume, ((0, 0), (1, 2), (0, 0), (0, 0)))
+    D = prob_volume.shape[1]
+    return (
+        padded[:, 0:D]
+        + padded[:, 1 : D + 1]
+        + padded[:, 2 : D + 2]
+        + padded[:, 3 : D + 3]
     )
 
 
@@ -79,5 +82,7 @@ def regress_depth_and_confidence(
 
     prob_volume = jax.nn.softmax(cost_reg, axis=1)
     depth = depth_regression(prob_volume, depth_values)
-    confidence = jax.lax.stop_gradient(photometric_confidence(prob_volume))
+    # Confidence is a diagnostic, computed under no_grad in the reference
+    # (/root/reference/models/mvsnet.py:214).
+    confidence = photometric_confidence(jax.lax.stop_gradient(prob_volume))
     return depth, confidence

@@ -1,0 +1,197 @@
+"""Training / testing / profiling drivers.
+
+Mirrors the reference's epoch structure (/root/reference/train.py:157-238):
+per-batch jitted train step with periodic scalar+image summaries, a
+checkpoint every ``save_freq`` epochs, and a full test pass per epoch
+aggregated with DictAverageMeter. The profile mode wraps warmed-up eval
+steps in ``jax.profiler.trace`` (Perfetto/TensorBoard), the TPU equivalent
+of the reference's chrome-trace export (/root/reference/train.py:361-389).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import jax
+import numpy as np
+
+from ..data.pipeline import BackgroundLoader, Loader
+from ..utils.misc import DictAverageMeter
+from .checkpoint import find_latest, restore_checkpoint, save_checkpoint
+from .logging import SummaryLogger
+from .lr import multistep_lr
+from .state import TrainState, make_eval_step, make_optimizer, make_train_step
+
+
+_SCALAR_KEYS = (
+    "loss",
+    "abs_depth_error",
+    "thres1mm_error",
+    "thres2mm_error",
+    "thres4mm_error",
+    "thres8mm_error",
+)
+
+
+def _scalars(aux: dict) -> dict[str, float]:
+    return {k: float(aux[k]) for k in _SCALAR_KEYS if k in aux}
+
+
+def _images(aux: dict, batch: dict) -> dict[str, Any]:
+    depth_est = np.asarray(aux["depth_est"])
+    mask = np.asarray(batch["mask"])
+    out = {
+        "depth_est": depth_est * mask,
+        "depth_gt": np.asarray(batch["depth"]),
+        "ref_img": np.asarray(batch["imgs"])[:, 0],
+        "mask": mask,
+        "errormap": np.abs(depth_est - np.asarray(batch["depth"])) * mask,
+        "photo_conf": np.asarray(aux["photometric_confidence"]),
+    }
+    return out
+
+
+class Trainer:
+    """Owns model/state/loaders and runs the epoch loop."""
+
+    def __init__(
+        self,
+        model,
+        train_dataset,
+        test_dataset,
+        *,
+        logdir: str,
+        epochs: int = 16,
+        lr: float = 1e-3,
+        lrepochs: str = "10,12,14:2",
+        weight_decay: float = 0.0,
+        batch_size: int = 1,
+        summary_freq: int = 100,
+        save_freq: int = 1,
+        seed: int = 1,
+        num_workers: int = 4,
+    ) -> None:
+        self.model = model
+        self.logdir = logdir
+        self.epochs = epochs
+        self.summary_freq = summary_freq
+        self.save_freq = save_freq
+        os.makedirs(logdir, exist_ok=True)
+
+        self.train_loader = Loader(
+            train_dataset, batch_size, shuffle=True, drop_last=True,
+            num_workers=num_workers, seed=seed,
+        )
+        self.test_loader = Loader(
+            test_dataset, batch_size, shuffle=False, drop_last=False,
+            num_workers=num_workers,
+        )
+
+        steps_per_epoch = max(len(self.train_loader), 1)
+        schedule = multistep_lr(lr, lrepochs, steps_per_epoch)
+        tx = make_optimizer(schedule, weight_decay)
+        self.schedule = schedule
+
+        sample = train_dataset[0]
+        import jax.numpy as jnp
+
+        variables = model.init(
+            jax.random.PRNGKey(seed),
+            jnp.asarray(sample["imgs"][None]),
+            jnp.asarray(sample["proj_matrices"][None]),
+            jnp.asarray(sample["depth_values"][None]),
+        )
+        self.state = TrainState.create(variables, tx)
+        self.start_epoch = 0
+
+        self.train_step = make_train_step(model)
+        self.eval_step = make_eval_step(model)
+        self.logger = SummaryLogger(logdir)
+
+    # -- checkpointing ------------------------------------------------------
+    def resume(self) -> bool:
+        latest = find_latest(self.logdir)
+        if latest is None:
+            return False
+        self.state, self.start_epoch = restore_checkpoint(latest, self.state)
+        print(f"Resuming from {latest} at epoch {self.start_epoch}")
+        return True
+
+    def load(self, path: str) -> None:
+        self.state, _ = restore_checkpoint(path, self.state)
+
+    # -- loops ---------------------------------------------------------------
+    def train(self) -> dict[str, float]:
+        final_test: dict[str, float] = {}
+        for epoch in range(self.start_epoch, self.epochs):
+            print(f"Epoch {epoch}:")
+            steps = len(self.train_loader)
+            for batch_idx, batch in enumerate(BackgroundLoader(self.train_loader)):
+                t0 = time.time()
+                global_step = int(self.state.step)
+                self.state, aux = self.train_step(self.state, batch)
+                if global_step % self.summary_freq == 0:
+                    scalars = _scalars(aux)
+                    self.logger.save_scalars("train", scalars, global_step)
+                    self.logger.save_images("train", _images(aux, batch), global_step)
+                    lr_now = float(self.schedule(global_step))
+                    msg = ", ".join(f"{k}={v:.3f}" for k, v in scalars.items())
+                    print(
+                        f"Epoch {epoch}/{self.epochs}, Iter {batch_idx}/{steps}, "
+                        f"LR:{lr_now:.2E}, {msg}, time={time.time() - t0:.3f}"
+                    )
+
+            if (epoch + 1) % self.save_freq == 0:
+                path = save_checkpoint(self.logdir, epoch, self.state)
+                print(f"Saved checkpoint {path}")
+
+            final_test = self.test(epoch=epoch)
+            self.logger.save_scalars("fulltest", final_test, int(self.state.step))
+            print("avg_test_scalars:", final_test)
+        return final_test
+
+    def test(self, epoch: int | None = None) -> dict[str, float]:
+        meter = DictAverageMeter()
+        variables = self.state.variables
+        for batch_idx, batch in enumerate(BackgroundLoader(self.test_loader)):
+            aux = self.eval_step(variables, batch)
+            scalars = _scalars(aux)
+            meter.update(scalars)
+            if int(self.state.step) % self.summary_freq == 0 and batch_idx == 0:
+                self.logger.save_scalars("test", scalars, int(self.state.step))
+                self.logger.save_images("test", _images(aux, batch), int(self.state.step))
+        return meter.mean() if meter.count else {}
+
+    def profile(self, warmup_iters: int = 5, profile_iters: int = 5) -> str:
+        """Warm up, then trace eval steps -> trace dir under logdir."""
+        it = iter(self.test_loader)
+        variables = self.state.variables
+
+        def one(batch):
+            aux = self.eval_step(variables, batch)
+            jax.block_until_ready(aux["loss"])
+            return aux
+
+        batches = []
+        for _ in range(max(warmup_iters, profile_iters)):
+            try:
+                batches.append(next(it))
+            except StopIteration:
+                it = iter(self.test_loader)
+                batches.append(next(it))
+
+        for i in range(warmup_iters):
+            t0 = time.time()
+            one(batches[i % len(batches)])
+            print(f"WarmUp Iter {i}, time = {time.time() - t0:.4f}")
+
+        trace_dir = os.path.join(self.logdir, "profile")
+        with jax.profiler.trace(trace_dir):
+            for i in range(profile_iters):
+                t0 = time.time()
+                one(batches[i % len(batches)])
+                print(f"Profile Iter {i}, time = {time.time() - t0:.4f}")
+        print(f"Profiler trace written to {trace_dir}")
+        return trace_dir

@@ -1,0 +1,182 @@
+"""Training runtime tests: LR DSL, metrics vs torch, loss decrease on the
+synthetic rig, checkpoint save/resume roundtrip, trainer smoke."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from scene_3dreconstruction_mvsnet_tpu.data import find_dataset_def
+from scene_3dreconstruction_mvsnet_tpu.data.synthetic import (
+    SyntheticRig,
+    make_blender_tree,
+    write_scan_list,
+)
+from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
+from scene_3dreconstruction_mvsnet_tpu.train import (
+    TrainState,
+    Trainer,
+    depth_metrics,
+    find_latest,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    multistep_lr,
+    parse_lrepochs,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_parse_lrepochs():
+    assert parse_lrepochs("10,12,14:2") == ([10, 12, 14], 0.5)
+    assert parse_lrepochs("5:4") == ([5], 0.25)
+
+
+def test_multistep_schedule():
+    sched = multistep_lr(1e-3, "2,4:2", steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(19)) == pytest.approx(1e-3)   # last step of epoch 1
+    assert float(sched(20)) == pytest.approx(5e-4)   # epoch 2 begins
+    assert float(sched(45)) == pytest.approx(2.5e-4)  # past epoch-4 milestone
+
+
+def test_metrics_match_torch(rng):
+    est = rng.rand(3, 8, 10).astype(np.float32) * 10
+    gt = rng.rand(3, 8, 10).astype(np.float32) * 10
+    mask = (rng.rand(3, 8, 10) > 0.3).astype(np.float32)
+
+    m = depth_metrics(jnp.asarray(est), jnp.asarray(gt), jnp.asarray(mask))
+
+    t_est, t_gt = torch.from_numpy(est), torch.from_numpy(gt)
+    t_mask = torch.from_numpy(mask) > 0.5
+    abs_ref = torch.stack(
+        [(t_est[i][t_mask[i]] - t_gt[i][t_mask[i]]).abs().mean() for i in range(3)]
+    ).mean()
+    np.testing.assert_allclose(float(m["abs_depth_error"]), float(abs_ref), rtol=1e-5)
+    thr_ref = torch.stack(
+        [
+            ((t_est[i][t_mask[i]] - t_gt[i][t_mask[i]]).abs() > 2.0).float().mean()
+            for i in range(3)
+        ]
+    ).mean()
+    np.testing.assert_allclose(float(m["thres2mm_error"]), float(thr_ref), rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_ds(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("train_ds"))
+    rig = SyntheticRig(n_views=3, img_hw=(32, 32), baseline=4.0)
+    make_blender_tree(root, scan="scene_000", n_lights=1, rig=rig, ndepths=8)
+    write_scan_list(os.path.join(root, "list.txt"), ["scene_000"])
+    MVSDataset = find_dataset_def("blender")
+    return MVSDataset(
+        root, os.path.join(root, "list.txt"), "train", nviews=3, ndepths=8,
+        interval_scale=1.0, Nlights="0:1",
+    )
+
+
+def _batch(ds, idxs):
+    samples = [ds[i] for i in idxs]
+    return {
+        k: jnp.asarray(np.stack([s[k] for s in samples]))
+        for k in ("imgs", "proj_matrices", "depth", "depth_values", "mask")
+    }
+
+
+def test_train_step_decreases_loss(tiny_ds):
+    model = MVSNet()
+    batch = _batch(tiny_ds, [0, 1])
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"], batch["depth_values"]
+    )
+    tx = make_optimizer(lambda step: 1e-3)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model)
+
+    state, aux0 = step(state, batch)
+    first = float(aux0["loss"])
+    for _ in range(8):
+        state, aux = step(state, batch)
+    last = float(aux["loss"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, (first, last)
+    assert int(state.step) == 9
+
+
+def test_eval_step_runs(tiny_ds):
+    model = MVSNet()
+    batch = _batch(tiny_ds, [0])
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"], batch["depth_values"]
+    )
+    aux = make_eval_step(model)(variables, batch)
+    assert np.isfinite(float(aux["loss"]))
+    assert 0 <= float(aux["thres8mm_error"]) <= 1
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_ds):
+    model = MVSNet()
+    batch = _batch(tiny_ds, [0])
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"], batch["depth_values"]
+    )
+    tx = make_optimizer(lambda step: 1e-3)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model)
+    state, _ = step(state, batch)
+
+    logdir = str(tmp_path / "log")
+    save_checkpoint(logdir, epoch=0, state=state)
+    save_checkpoint(logdir, epoch=3, state=state)
+    latest = find_latest(logdir)
+    assert latest.endswith("ckpt_000003")
+
+    fresh = TrainState.create(variables, tx)
+    restored, next_epoch = restore_checkpoint(latest, fresh)
+    assert next_epoch == 4
+    assert int(restored.step) == 1
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.params,
+        state.params,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.opt_state,
+        state.opt_state,
+    )
+
+
+def test_trainer_end_to_end(tmp_path, tiny_ds):
+    logdir = str(tmp_path / "trainer_log")
+    trainer = Trainer(
+        MVSNet(),
+        tiny_ds,
+        tiny_ds,
+        logdir=logdir,
+        epochs=1,
+        lr=1e-3,
+        lrepochs="10:2",
+        batch_size=1,
+        summary_freq=1,
+        save_freq=1,
+        num_workers=0,
+    )
+    result = trainer.test()
+    assert "loss" in result
+    final = trainer.train()
+    assert np.isfinite(final["loss"])
+    assert find_latest(logdir) is not None
+    assert os.path.exists(os.path.join(logdir, "scalars.jsonl"))
+
+    # resume restores epoch counter past the end -> no further epochs
+    trainer2 = Trainer(
+        MVSNet(), tiny_ds, tiny_ds, logdir=logdir, epochs=1, batch_size=1,
+        num_workers=0,
+    )
+    assert trainer2.resume()
+    assert trainer2.start_epoch == 1

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Training / testing / profiling CLI for the TPU-native MVSNet framework.
+
+Mirrors the reference trainer's argparse surface
+(/root/reference/train.py:24-67) — same flag names and mini-DSLs
+(--lrepochs "10,12,14:2", --Nlights "3:7") — over the jitted JAX runtime.
+"""
+
+import argparse
+import os
+import random
+import sys
+
+import numpy as np
+
+from scene_3dreconstruction_mvsnet_tpu.data import find_dataset_def
+from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
+from scene_3dreconstruction_mvsnet_tpu.train import Trainer
+from scene_3dreconstruction_mvsnet_tpu.utils import print_args
+
+parser = argparse.ArgumentParser(description="TPU-native MVSNet trainer")
+parser.add_argument("--mode", default="train", choices=["train", "test", "profile"])
+parser.add_argument("--model", default="mvsnet", help="select model")
+parser.add_argument("--refine", action="store_true", help="use the refine network")
+
+parser.add_argument("--dataset", default="dtu_yao", choices=["dtu_yao", "blender"])
+parser.add_argument("--trainpath", default="", help="train datapath")
+parser.add_argument("--testpath", help="test datapath (defaults to trainpath)")
+parser.add_argument("--trainlist", default="lists/dtu/train.txt")
+parser.add_argument("--testlist", default="lists/dtu/test.txt")
+parser.add_argument("--pairfile", default="pair.txt")
+
+parser.add_argument("--epochs", type=int, default=16)
+parser.add_argument("--lr", type=float, default=0.001)
+parser.add_argument("--lrepochs", type=str, default="10,12,14:2",
+                    help="epoch ids to downscale lr and the downscale rate")
+parser.add_argument("--wd", type=float, default=0.0, help="weight decay")
+
+parser.add_argument("--batch_size", type=int, default=1)
+parser.add_argument("--numdepth", type=int, default=192)
+parser.add_argument("--interval_scale", type=float, default=1.06)
+parser.add_argument("--Nlights", type=str, default="1:1",
+                    help="'k:total' light sampling DSL (blender datasets)")
+parser.add_argument("--NtrainViews", type=int, default=3)
+parser.add_argument("--NtestViews", type=int, default=5)
+
+parser.add_argument("--loadckpt", default=None)
+parser.add_argument("--logdir", default="./outputs/debug")
+parser.add_argument("--resume", action="store_true")
+
+parser.add_argument("--summary_freq", type=int, default=100)
+parser.add_argument("--save_freq", type=int, default=1)
+parser.add_argument("--seed", type=int, default=0, metavar="S", help="0 for random seed")
+parser.add_argument("--num_workers", type=int, default=4)
+
+parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                    help="conv compute dtype (bfloat16 = TPU fast path)")
+parser.add_argument("--depth_chunk", type=int, default=None,
+                    help="plane-sweep depth chunk size (bounds peak HBM)")
+parser.add_argument("--debug_MVSnet", type=int, default=0,
+                    help="debug bitmask kept for CLI parity (visualization "
+                         "windows are not supported in headless TPU runs)")
+
+
+def main() -> None:
+    args = parser.parse_args()
+    if args.resume:
+        assert args.mode == "train", "--resume requires --mode train"
+        assert args.loadckpt is None, "--resume and --loadckpt are exclusive"
+    if args.testpath is None:
+        args.testpath = args.trainpath
+
+    seed = args.seed if args.seed != 0 else random.randint(1, 99999999)
+    np.random.seed(seed)
+
+    print("argv:", sys.argv[1:])
+    print_args(args)
+
+    MVSDataset = find_dataset_def(args.dataset)
+    common = dict(Nlights=args.Nlights, pairfile=args.pairfile, seed=seed)
+    train_dataset = MVSDataset(
+        args.trainpath, args.trainlist, "train", args.NtrainViews,
+        args.numdepth, args.interval_scale, **common,
+    )
+    test_dataset = MVSDataset(
+        args.testpath, args.testlist, "test", args.NtestViews,
+        args.numdepth, args.interval_scale, **common,
+    )
+
+    import jax.numpy as jnp
+
+    model = MVSNet(
+        refine=args.refine,
+        depth_chunk=args.depth_chunk,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
+    )
+
+    trainer = Trainer(
+        model,
+        train_dataset,
+        test_dataset,
+        logdir=args.logdir,
+        epochs=args.epochs,
+        lr=args.lr,
+        lrepochs=args.lrepochs,
+        weight_decay=args.wd,
+        batch_size=args.batch_size,
+        summary_freq=args.summary_freq,
+        save_freq=args.save_freq,
+        seed=seed,
+        num_workers=args.num_workers,
+    )
+
+    if args.resume:
+        trainer.resume()
+    elif args.loadckpt:
+        print(f"Loading checkpoint {args.loadckpt}")
+        trainer.load(args.loadckpt)
+
+    n_params = sum(
+        int(np.prod(np.shape(p)))
+        for p in __import__("jax").tree.leaves(trainer.state.params)
+    )
+    print(f"Number of model parameters: {n_params}")
+
+    if args.mode == "train":
+        trainer.train()
+    elif args.mode == "test":
+        print("final", trainer.test())
+    elif args.mode == "profile":
+        trainer.profile()
+
+
+if __name__ == "__main__":
+    main()
