@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Depth generation + filtering + fusion CLI (TPU-native).
+
+Mirrors the reference eval surface (/root/reference/eval.py:26-74): the same
+--NviewGen/--NviewFilter/--photomask/--geomask/--condmask_pixel/
+--condmask_depth knobs, dataset-name registries (cam/img subfolders and
+resolutions per dataset, /root/reference/eval.py:851-895), two-stage
+pipeline communicating through the same on-disk file layout. Stage B's
+geometric consistency runs on device (the reference does it on CPU).
+"""
+
+import argparse
+import os
+import re
+import sys
+
+from scene_3dreconstruction_mvsnet_tpu.eval import filter_depth, save_depth
+from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
+from scene_3dreconstruction_mvsnet_tpu.utils import print_args
+
+parser = argparse.ArgumentParser(
+    description="Predict depth, filter, and fuse (TPU-native MVSNet)"
+)
+parser.add_argument("--model", default="mvsnet")
+parser.add_argument("--dataset", default="dataloader_eval",
+                    choices=["dtu_yao_eval", "blender_eval", "dataloader_eval"])
+parser.add_argument("--dataset_name", default="dtu",
+                    choices=["dtu", "bds1", "bds2", "bds4", "bds6", "bds7", "bds8", "bin"])
+parser.add_argument("--testpath", help="testing data path")
+parser.add_argument("--testlist", help="testing scan list")
+parser.add_argument("--pairfile", default="pair.txt")
+
+parser.add_argument("--batch_size", type=int, default=1)
+parser.add_argument("--numdepth", type=int, default=192)
+parser.add_argument("--interval_scale", type=float, default=1.06)
+
+parser.add_argument("--loadckpt", default=None,
+                    help="checkpoint: orbax ckpt dir or a PyTorch .ckpt file")
+parser.add_argument("--outdir", default="./outputs")
+parser.add_argument("--save_ply", action="store_true")
+
+parser.add_argument("--NviewGen", type=int, default=5,
+                    help="number of views used to generate depth maps (DTU=5)")
+parser.add_argument("--NviewFilter", type=int, default=10,
+                    help="number of src views used while filtering (DTU=10)")
+parser.add_argument("--photomask", type=float, default=0.8,
+                    help="photometric confidence threshold")
+parser.add_argument("--geomask", type=int, default=3,
+                    help="min number of consistent views")
+parser.add_argument("--condmask_pixel", type=float, default=1.0,
+                    help="max reprojection distance in pixels")
+parser.add_argument("--condmask_depth", type=float, default=0.01,
+                    help="max relative depth difference")
+
+parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+parser.add_argument("--depth_chunk", type=int, default=None)
+parser.add_argument("--use_pallas", action="store_true",
+                    help="fused Pallas regression kernel (TPU only)")
+parser.add_argument("--num_workers", type=int, default=4)
+parser.add_argument("--skip_gen", action="store_true",
+                    help="skip stage A (reuse existing depth maps)")
+parser.add_argument("--skip_filter", action="store_true", help="skip stage B")
+parser.add_argument("--xy_scale", type=float, default=1.0531,
+                    help="empirical world-x/y scale applied during fusion "
+                         "(reference eval.py:264)")
+
+parser.add_argument("--debug_MVSnet", type=int, default=0,
+                    help="kept for CLI parity; headless runs ignore it")
+parser.add_argument("--debug_depth_gen", type=int, default=0)
+parser.add_argument("--debug_depth_filter", type=int, default=0)
+
+# registry overrides (the reference hardcodes these per dataset name)
+parser.add_argument("--img_res", type=int, nargs=2, default=None,
+                    metavar=("H", "W"), help="override registry image resolution")
+parser.add_argument("--cam_subfolder", default=None,
+                    help="override registry camera subfolder")
+parser.add_argument("--img_subfolder", default=None,
+                    help="override registry image filename template")
+
+# per-dataset registries (parity with /root/reference/eval.py:851-895)
+DICT_CAM_SUBFOLDER = {
+    "dtu": "Cameras",
+    "bds1": "Cameras_1200x1600",
+    "bds2": "Cameras_512x640",
+    "bds4": "Cameras_512x640",
+    "bds6": "Cameras_512x640",
+    "bds7": "Cameras_512x640",
+    "bds8": "Cameras_512x640",
+    "bin": "Cameras",
+}
+DICT_IMG_SUBFOLDER = {
+    "dtu": "Rectified_raw/{}/rect_{:0>3}_3_r5000.png",
+    "bds1": "Rectified_1200x1600/{}/rect_C{:0>3}_L00.png",
+    "bds2": "Rectified_512x640/{}/rect_C{:0>3}_L00.png",
+    "bds4": "Rectified_1024x1280/{}/rect_C{:0>3}_L00.png",
+    "bds6": "Rectified_512x640/{}/rect_C{:0>3}_L00.png",
+    "bds7": "Rectified_512x640/{}/rect_C{:0>3}_L00.png",
+    "bds8": "Rectified_512x640/{}/rect_C{:0>3}_L00.png",
+    "bin": "Rectified/{}/00000{:0>3}.png",
+}
+DICT_IMG_RES = {
+    "dtu": (600, 800),
+    "bds1": (1200, 1600),
+    "bds2": (512, 640),
+    "bds4": (1024, 1280),
+    "bds6": (1024, 1280),
+    "bds7": (512, 640),
+    "bds8": (512, 640),
+    "bin": (512, 640),
+}
+
+
+def load_variables(args, model):
+    """Load eval variables from an orbax dir or a torch .ckpt file."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.loadckpt is None:
+        raise SystemExit("--loadckpt is required")
+    if os.path.isdir(args.loadckpt):
+        from scene_3dreconstruction_mvsnet_tpu.train import restore_variables
+
+        h, w = DICT_IMG_RES[args.dataset_name]
+        h, w = (h // 32) * 32, (w // 32) * 32
+        dummy = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 2, 64, 64, 3)),
+            jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)),
+            jnp.linspace(1.0, 2.0, 8)[None],
+        )
+        return restore_variables(args.loadckpt, dummy)
+    from scene_3dreconstruction_mvsnet_tpu.interop import load_torch_checkpoint
+
+    return load_torch_checkpoint(args.loadckpt)
+
+
+def main() -> None:
+    args = parser.parse_args()
+    print("argv:", sys.argv[1:])
+    print_args(args)
+
+    import jax.numpy as jnp
+
+    model = MVSNet(
+        refine=False,
+        depth_chunk=args.depth_chunk,
+        use_pallas_regression=args.use_pallas,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
+    )
+
+    cam_subfolder = args.cam_subfolder or DICT_CAM_SUBFOLDER[args.dataset_name]
+    img_subfolder = args.img_subfolder or DICT_IMG_SUBFOLDER[args.dataset_name]
+    img_res = tuple(args.img_res) if args.img_res else DICT_IMG_RES[args.dataset_name]
+
+    acquisition_folder = args.testpath.rstrip("/").split("/")[-1]
+    outdir_acq = os.path.join(args.outdir, acquisition_folder)
+
+    if not args.skip_gen:
+        variables = load_variables(args, model)
+        save_depth(
+            model,
+            variables,
+            dataset=args.dataset,
+            dataset_name=args.dataset_name,
+            testpath=args.testpath,
+            testlist=args.testlist,
+            outdir=args.outdir,
+            NviewGen=args.NviewGen,
+            numdepth=args.numdepth,
+            interval_scale=args.interval_scale,
+            pairfile=args.pairfile,
+            cam_subfolder=cam_subfolder,
+            img_subfolder=img_subfolder,
+            img_res=img_res,
+            num_workers=args.num_workers,
+        )
+
+    if args.skip_filter:
+        return
+
+    with open(args.testlist) as f:
+        scans = [line.rstrip() for line in f.readlines() if line.strip()]
+
+    for scan in scans:
+        scan_id_match = re.findall(r"\d+", scan)
+        scan_id = int(scan_id_match[0]) if scan_id_match else 0
+        out_folder = os.path.join(outdir_acq, scan)
+        plyfilename = os.path.join(outdir_acq, f"mvsnet{scan_id:0>3}_l3.ply")
+        filter_depth(
+            args.testpath,
+            scan,
+            out_folder,
+            plyfilename,
+            outdir_acq=outdir_acq,
+            pairfile=args.pairfile,
+            dataset_name=args.dataset_name,
+            NviewFilter=args.NviewFilter,
+            photomask=args.photomask,
+            geomask=args.geomask,
+            condmask_pixel=args.condmask_pixel,
+            condmask_depth=args.condmask_depth,
+            save_ply=args.save_ply,
+            xy_scale=args.xy_scale,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Photometric + geometric consistency filtering — on device.
+
+The reference runs this stage entirely on CPU with numpy + cv2.remap per
+(ref, src) pair (/root/reference/eval.py:508-585); here the reprojection
+check is a jitted jnp computation vmapped over all source views at once, so
+a reference view's full consistency check is one device launch.
+
+Semantics parity:
+ - ref pixel grid uses the integer-corner convention (np.arange meshgrid,
+   /root/reference/eval.py:521),
+ - source depth is sampled bilinearly with zero border (cv2.remap's default
+   BORDER_CONSTANT 0, /root/reference/eval.py:540) — our sampler's zeros
+   padding matches,
+ - masks: reprojection distance < condmask_pixel AND relative depth
+   difference < condmask_depth (/root/reference/eval.py:572-580),
+ - rejected reprojected depths are zeroed; the fused depth is
+   (sum of masked reprojections + ref) / (geo count + 1)
+   (/root/reference/eval.py:583, :699).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sampling import bilinear_sample_2d
+
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+def _pixel_grid_xy(height: int, width: int, dtype=jnp.float32):
+    x, y = jnp.meshgrid(
+        jnp.arange(width, dtype=dtype), jnp.arange(height, dtype=dtype), indexing="xy"
+    )
+    return x.reshape(-1), y.reshape(-1)
+
+
+def reproject_with_depth(
+    depth_ref: jnp.ndarray,
+    intrinsics_ref: jnp.ndarray,
+    extrinsics_ref: jnp.ndarray,
+    depth_src: jnp.ndarray,
+    intrinsics_src: jnp.ndarray,
+    extrinsics_src: jnp.ndarray,
+):
+    """Project ref depth into src, resample src depth there, project back.
+
+    Returns (depth_reprojected, x2d_reprojected, y2d_reprojected,
+    x2d_src, y2d_src), each [H, W] — the reference's 5-tuple
+    (/root/reference/eval.py:508-557).
+    """
+    H, W = depth_ref.shape
+    x_ref, y_ref = _pixel_grid_xy(H, W, depth_ref.dtype)
+    ones = jnp.ones_like(x_ref)
+
+    # ref pixels -> ref camera space
+    xyz_ref = jnp.matmul(
+        jnp.linalg.inv(intrinsics_ref),
+        jnp.stack([x_ref, y_ref, ones]) * depth_ref.reshape(1, -1),
+        precision=_EXACT,
+    )
+    # -> src camera space
+    rel = jnp.matmul(
+        extrinsics_src, jnp.linalg.inv(extrinsics_ref), precision=_EXACT
+    )
+    xyz_src = jnp.matmul(
+        rel, jnp.concatenate([xyz_ref, ones[None]], axis=0), precision=_EXACT
+    )[:3]
+    K_xyz_src = jnp.matmul(intrinsics_src, xyz_src, precision=_EXACT)
+    xy_src = K_xyz_src[:2] / K_xyz_src[2:3]
+
+    # resample src depth at the projected coordinates (zeros border)
+    sampled = bilinear_sample_2d(
+        depth_src[None, :, :, None], xy_src[0][None], xy_src[1][None]
+    )[0, :, 0]
+
+    # back-project with the *sampled* src depth, return to ref
+    xyz_src2 = jnp.matmul(
+        jnp.linalg.inv(intrinsics_src),
+        jnp.concatenate([xy_src, ones[None]], axis=0) * sampled[None],
+        precision=_EXACT,
+    )
+    rel_back = jnp.matmul(
+        extrinsics_ref, jnp.linalg.inv(extrinsics_src), precision=_EXACT
+    )
+    xyz_reproj = jnp.matmul(
+        rel_back, jnp.concatenate([xyz_src2, ones[None]], axis=0), precision=_EXACT
+    )[:3]
+    depth_reproj = xyz_reproj[2].reshape(H, W)
+    K_xyz_reproj = jnp.matmul(intrinsics_ref, xyz_reproj, precision=_EXACT)
+    xy_reproj = K_xyz_reproj[:2] / K_xyz_reproj[2:3]
+
+    return (
+        depth_reproj,
+        xy_reproj[0].reshape(H, W),
+        xy_reproj[1].reshape(H, W),
+        xy_src[0].reshape(H, W),
+        xy_src[1].reshape(H, W),
+    )
+
+
+def check_geometric_consistency(
+    depth_ref,
+    intrinsics_ref,
+    extrinsics_ref,
+    depth_src,
+    intrinsics_src,
+    extrinsics_src,
+    condmask_pixel: float = 1.0,
+    condmask_depth: float = 0.01,
+):
+    """-> (mask, masked reprojected depth, x2d_src, y2d_src), each [H, W]."""
+    H, W = depth_ref.shape
+    x_ref, y_ref = _pixel_grid_xy(H, W, depth_ref.dtype)
+    depth_reproj, x_rp, y_rp, x_src, y_src = reproject_with_depth(
+        depth_ref, intrinsics_ref, extrinsics_ref,
+        depth_src, intrinsics_src, extrinsics_src,
+    )
+    dist = jnp.sqrt(
+        (x_rp - x_ref.reshape(H, W)) ** 2 + (y_rp - y_ref.reshape(H, W)) ** 2
+    )
+    depth_diff = jnp.abs(depth_reproj - depth_ref)
+    relative = depth_diff / depth_ref
+    mask = (dist < condmask_pixel) & (relative < condmask_depth)
+    return mask, jnp.where(mask, depth_reproj, 0.0), x_src, y_src
+
+
+@partial(jax.jit, static_argnames=("condmask_pixel", "condmask_depth"))
+def geometric_filter_stack(
+    depth_ref: jnp.ndarray,
+    intrinsics_ref: jnp.ndarray,
+    extrinsics_ref: jnp.ndarray,
+    depths_src: jnp.ndarray,
+    intrinsics_src: jnp.ndarray,
+    extrinsics_src: jnp.ndarray,
+    condmask_pixel: float = 1.0,
+    condmask_depth: float = 0.01,
+):
+    """All source views at once (vmapped): depths_src [N, H, W],
+    intrinsics_src [N, 3, 3], extrinsics_src [N, 4, 4].
+
+    Returns (geo_mask_sum [H,W] int32, depth_reproj_sum [H,W],
+    per-view masks [N,H,W] bool).
+    """
+    check = jax.vmap(
+        lambda d, K, E: check_geometric_consistency(
+            depth_ref, intrinsics_ref, extrinsics_ref, d, K, E,
+            condmask_pixel, condmask_depth,
+        )[:2]
+    )
+    masks, depths_reproj = check(depths_src, intrinsics_src, extrinsics_src)
+    return (
+        jnp.sum(masks.astype(jnp.int32), axis=0),
+        jnp.sum(depths_reproj, axis=0),
+        masks,
+    )
+
+
+def fuse_reference_view(
+    ref_depth: np.ndarray,
+    confidence: np.ndarray,
+    ref_intrinsics: np.ndarray,
+    ref_extrinsics: np.ndarray,
+    src_depths: np.ndarray,
+    src_intrinsics: np.ndarray,
+    src_extrinsics: np.ndarray,
+    photomask: float = 0.8,
+    geomask: int = 3,
+    condmask_pixel: float = 1.0,
+    condmask_depth: float = 0.01,
+):
+    """One reference view's full filter: photo mask + geometric consistency
+    over all sources + masked depth averaging (/root/reference/eval.py:
+    658-706). Device compute, numpy in/out.
+
+    Returns dict with photo_mask, geo_mask, final_mask (bool [H,W]) and
+    depth_est_averaged [H,W].
+    """
+    geo_sum, depth_sum, _ = geometric_filter_stack(
+        jnp.asarray(ref_depth),
+        jnp.asarray(ref_intrinsics),
+        jnp.asarray(ref_extrinsics),
+        jnp.asarray(src_depths),
+        jnp.asarray(src_intrinsics),
+        jnp.asarray(src_extrinsics),
+        condmask_pixel=float(condmask_pixel),
+        condmask_depth=float(condmask_depth),
+    )
+    geo_sum = np.asarray(geo_sum)
+    depth_sum = np.asarray(depth_sum)
+
+    photo_mask = confidence > photomask
+    depth_est_averaged = (depth_sum + ref_depth) / (geo_sum + 1)
+    geo_mask = geo_sum >= geomask
+    final_mask = np.logical_and(photo_mask, geo_mask)
+    return {
+        "photo_mask": photo_mask,
+        "geo_mask": geo_mask,
+        "final_mask": final_mask,
+        "depth_est_averaged": depth_est_averaged.astype(np.float32),
+        "geo_mask_sum": geo_sum,
+    }

@@ -1,0 +1,163 @@
+"""Eval stage B: filter saved depth maps and fuse into a point cloud.
+
+TPU equivalent of filter_depth (/root/reference/eval.py:590-843): for each
+reference view, read back the stage-A outputs, run the (on-device)
+photometric + geometric filter, write the three mask PNGs, back-project the
+fused depths to world points with the reference's empirical 1.0531 x/y
+scale, and export a binary PLY (fixing the reference's --save_ply crash,
+/root/reference/eval.py:796).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.transforms import depth_to_world_points
+from ..io.cams import read_camera_parameters, read_pair_file
+from ..io.images import read_img, save_mask
+from ..io.pfm import read_pfm
+from ..io.ply import write_ply
+from .filtering import fuse_reference_view
+
+
+def filter_depth(
+    dataset_folder: str,
+    scan: str,
+    out_folder: str,
+    plyfilename: str,
+    *,
+    outdir_acq: str,
+    pairfile: str = "pair.txt",
+    dataset_name: str = "dtu",
+    NviewFilter: int = 10,
+    photomask: float = 0.8,
+    geomask: int = 3,
+    condmask_pixel: float = 1.0,
+    condmask_depth: float = 0.01,
+    save_ply: bool = False,
+    xy_scale: float = 1.0531,
+) -> dict:
+    """Filter + fuse one scan. Returns stats incl. per-view timing and mask
+    coverage. File layout matches the reference so outputs are drop-in
+    comparable."""
+    print(f"============ DEPTH MAPS FILTER / FUSION using {NviewFilter} views")
+
+    if dataset_name == "bin":
+        pair_file = os.path.join(dataset_folder, "../..", pairfile)
+    else:
+        pair_file = os.path.join(dataset_folder, pairfile)
+    pair_data = read_pair_file(pair_file)
+
+    vertices, vertex_colors = [], []
+    filter_times, coverage = [], []
+
+    def cam_path(view):
+        return os.path.join(outdir_acq, scan, "cams", f"00000{view:0>3}_cam.txt")
+
+    for ref_view, src_views in pair_data:
+        t0 = time.time()
+        src_views = src_views[:NviewFilter]
+
+        ref_intrinsics, ref_extrinsics = read_camera_parameters(cam_path(ref_view))
+        ref_depth = read_pfm(
+            os.path.join(out_folder, f"depth_est/{ref_view:0>8}.pfm")
+        )[0]
+        confidence = read_pfm(
+            os.path.join(out_folder, f"confidence/{ref_view:0>8}.pfm")
+        )[0]
+        ref_img = read_img(
+            os.path.join(outdir_acq, scan, "images", f"00000{ref_view:0>3}.png")
+        )
+        h_i, w_i = ref_img.shape[:2]
+        h_d, w_d = ref_depth.shape[:2]
+        assert (h_i, w_i) == (4 * h_d, 4 * w_d), "incompatible depth/image dims"
+
+        src_depths, src_Ks, src_Es = [], [], []
+        for src_view in src_views:
+            K, E = read_camera_parameters(cam_path(src_view))
+            src_Ks.append(K)
+            src_Es.append(E)
+            src_depths.append(
+                read_pfm(os.path.join(out_folder, f"depth_est/{src_view:0>8}.pfm"))[0]
+            )
+
+        result = fuse_reference_view(
+            ref_depth,
+            confidence,
+            ref_intrinsics,
+            ref_extrinsics,
+            np.stack(src_depths),
+            np.stack(src_Ks),
+            np.stack(src_Es),
+            photomask=photomask,
+            geomask=geomask,
+            condmask_pixel=condmask_pixel,
+            condmask_depth=condmask_depth,
+        )
+        photo_mask = result["photo_mask"]
+        geo_mask = result["geo_mask"]
+        final_mask = result["final_mask"]
+
+        mask_dir = os.path.join(out_folder, "mask")
+        os.makedirs(mask_dir, exist_ok=True)
+        save_mask(os.path.join(mask_dir, f"{ref_view:0>8}_photo.png"), photo_mask)
+        save_mask(os.path.join(mask_dir, f"{ref_view:0>8}_geo.png"), geo_mask)
+        save_mask(os.path.join(mask_dir, f"{ref_view:0>8}_final.png"), final_mask)
+
+        filter_times.append(time.time() - t0)
+        coverage.append(
+            (photo_mask.mean(), geo_mask.mean(), final_mask.mean())
+        )
+        print(
+            "SUMMARY: Ref_view: {:0>2}, photo/geo/final-mask:"
+            "{:.2f}%/{:.2f}%/{:.2f}%, time={:.3f}s".format(
+                ref_view,
+                photo_mask.mean() * 100,
+                geo_mask.mean() * 100,
+                final_mask.mean() * 100,
+                filter_times[-1],
+            )
+        )
+
+        # back-project fused depths to world points; sample colors at the
+        # depth-resolution pixel centers (img[1::4, 1::4],
+        # /root/reference/eval.py:754)
+        world = np.asarray(
+            depth_to_world_points(
+                jnp.asarray(result["depth_est_averaged"]),
+                jnp.asarray(ref_intrinsics),
+                jnp.asarray(ref_extrinsics),
+                xy_scale=xy_scale,
+            )
+        )
+        flat_mask = final_mask.reshape(-1)
+        vertices.append(world[flat_mask])
+        colors = ref_img[1::4, 1::4, :][final_mask]
+        vertex_colors.append((colors * 255).astype(np.uint8))
+
+    vertices_all = (
+        np.concatenate(vertices, axis=0) if vertices else np.zeros((0, 3), np.float32)
+    )
+    colors_all = (
+        np.concatenate(vertex_colors, axis=0)
+        if vertex_colors
+        else np.zeros((0, 3), np.uint8)
+    )
+    if save_ply:
+        write_ply(plyfilename, vertices_all, colors_all)
+        print("saving the final model to", plyfilename)
+
+    avg_time = float(np.mean(filter_times)) if filter_times else 0.0
+    print(f"Averaged filter time: {avg_time}")
+    return {
+        "avg_filter_time": avg_time,
+        "n_ref_views": len(filter_times),
+        "n_points": int(vertices_all.shape[0]),
+        "coverage": coverage,
+        "vertices": vertices_all,
+        "colors": colors_all,
+    }

@@ -75,15 +75,11 @@ def restore_checkpoint(path: str, state) -> tuple[Any, int]:
     return new_state, int(restored["epoch"]) + 1
 
 
-def restore_variables(path: str, variables_template: dict) -> dict:
-    """Restore only {'params','batch_stats'} (for eval --loadckpt)."""
+def restore_variables(path: str, variables_template: dict | None = None) -> dict:
+    """Restore only {'params','batch_stats'} (for eval --loadckpt).
+
+    Restores without a template (orbax returns the stored arrays as saved),
+    so the caller does not need matching opt_state structure."""
     ckptr = ocp.StandardCheckpointer()
-    payload = ckptr.restore(
-        os.path.abspath(path),
-        {
-            "params": variables_template["params"],
-            "batch_stats": variables_template["batch_stats"],
-        },
-        partial_restore=True,
-    )
+    payload = ckptr.restore(os.path.abspath(path))
     return {"params": payload["params"], "batch_stats": payload["batch_stats"]}

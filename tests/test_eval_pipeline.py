@@ -1,0 +1,211 @@
+"""Eval pipeline tests: on-device reprojection vs a numpy+cv2 oracle
+(cv2.remap is the exact op the reference calls), fusion semantics, and the
+end-to-end two-stage CLI pipeline on a synthetic scene tree."""
+
+import os
+import subprocess
+import sys
+
+import cv2
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from scene_3dreconstruction_mvsnet_tpu.data.synthetic import SyntheticRig
+from scene_3dreconstruction_mvsnet_tpu.eval.filtering import (
+    check_geometric_consistency,
+    fuse_reference_view,
+    reproject_with_depth,
+)
+
+
+def _np_reproject_oracle(depth_ref, K_ref, E_ref, depth_src, K_src, E_src):
+    """Numpy + cv2.remap oracle implementing the published MVSNet fusion
+    reprojection: ref->src projection, bilinear depth resample, src->ref
+    return projection."""
+    h, w = depth_ref.shape
+    x_ref, y_ref = np.meshgrid(np.arange(w), np.arange(h))
+    x_ref, y_ref = x_ref.reshape(-1), y_ref.reshape(-1)
+    xyz_ref = np.linalg.inv(K_ref) @ (
+        np.vstack([x_ref, y_ref, np.ones_like(x_ref)]) * depth_ref.reshape(-1)
+    )
+    xyz_src = (E_src @ np.linalg.inv(E_ref)) @ np.vstack(
+        [xyz_ref, np.ones_like(x_ref)]
+    )
+    xyz_src = xyz_src[:3]
+    k_xyz = K_src @ xyz_src
+    xy_src = k_xyz[:2] / k_xyz[2:3]
+
+    x_src = xy_src[0].reshape(h, w).astype(np.float32)
+    y_src = xy_src[1].reshape(h, w).astype(np.float32)
+    sampled = cv2.remap(depth_src, x_src, y_src, interpolation=cv2.INTER_LINEAR)
+
+    xyz_src2 = np.linalg.inv(K_src) @ (
+        np.vstack([xy_src, np.ones_like(x_ref)]) * sampled.reshape(-1)
+    )
+    xyz_rp = (E_ref @ np.linalg.inv(E_src)) @ np.vstack(
+        [xyz_src2, np.ones_like(x_ref)]
+    )
+    xyz_rp = xyz_rp[:3]
+    depth_rp = xyz_rp[2].reshape(h, w).astype(np.float32)
+    k_rp = K_ref @ xyz_rp
+    xy_rp = k_rp[:2] / k_rp[2:3]
+    return (
+        depth_rp,
+        xy_rp[0].reshape(h, w).astype(np.float32),
+        xy_rp[1].reshape(h, w).astype(np.float32),
+    )
+
+
+@pytest.fixture(scope="module")
+def fusion_scene():
+    rig = SyntheticRig(n_views=4, img_hw=(64, 96), baseline=3.0)
+    depths = [rig.depth_map(v) for v in range(rig.n_views)]
+    Ks = [rig.K.copy() for _ in range(rig.n_views)]
+    Es = [rig.extrinsics(v) for v in range(rig.n_views)]
+    return rig, depths, Ks, Es
+
+
+def test_reprojection_matches_cv2_oracle(fusion_scene):
+    rig, depths, Ks, Es = fusion_scene
+    ours = reproject_with_depth(
+        jnp.asarray(depths[0]), jnp.asarray(Ks[0]), jnp.asarray(Es[0]),
+        jnp.asarray(depths[1]), jnp.asarray(Ks[1]), jnp.asarray(Es[1]),
+    )
+    oracle = _np_reproject_oracle(depths[0], Ks[0], Es[0], depths[1], Ks[1], Es[1])
+
+    # interiors must agree tightly; cv2.remap's border handling differs only
+    # in the out-of-bounds band
+    h, w = depths[0].shape
+    sl = np.s_[2:-2, 8:-8]
+    np.testing.assert_allclose(np.asarray(ours[0])[sl], oracle[0][sl], atol=1e-2, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours[1])[sl], oracle[1][sl], atol=5e-3)
+    np.testing.assert_allclose(np.asarray(ours[2])[sl], oracle[2][sl], atol=5e-3)
+
+
+def test_consistency_on_perfect_depths(fusion_scene):
+    """Analytically consistent depth maps must pass the geometric check in
+    the mutually visible region."""
+    rig, depths, Ks, Es = fusion_scene
+    mask, depth_rp, _, _ = check_geometric_consistency(
+        jnp.asarray(depths[0]), jnp.asarray(Ks[0]), jnp.asarray(Es[0]),
+        jnp.asarray(depths[1]), jnp.asarray(Ks[1]), jnp.asarray(Es[1]),
+        condmask_pixel=1.0, condmask_depth=0.01,
+    )
+    mask = np.asarray(mask)
+    # camera 1 sits at +x: ref pixels right of the overlap boundary are
+    # covered; demand near-total consistency there
+    covered = mask[:, 16:]
+    assert covered.mean() > 0.98, covered.mean()
+    # reprojected depth equals ref depth where masked
+    d = np.asarray(depth_rp)
+    err = np.abs(d[mask] - depths[0][mask]) / depths[0][mask]
+    assert err.max() < 0.01
+
+
+def test_consistency_rejects_wrong_depth(fusion_scene):
+    rig, depths, Ks, Es = fusion_scene
+    wrong = depths[1] * 1.2  # 20% depth error >> 1% threshold
+    mask, _, _, _ = check_geometric_consistency(
+        jnp.asarray(depths[0]), jnp.asarray(Ks[0]), jnp.asarray(Es[0]),
+        jnp.asarray(wrong), jnp.asarray(Ks[1]), jnp.asarray(Es[1]),
+    )
+    assert np.asarray(mask).mean() < 0.05
+
+
+def test_fuse_reference_view(fusion_scene):
+    rig, depths, Ks, Es = fusion_scene
+    confidence = np.full_like(depths[0], 0.9)
+    out = fuse_reference_view(
+        depths[0], confidence, Ks[0], Es[0],
+        np.stack(depths[1:]), np.stack(Ks[1:]), np.stack(Es[1:]),
+        photomask=0.5, geomask=3, condmask_pixel=1.0, condmask_depth=0.01,
+    )
+    # all 3 sources consistent -> geo_mask_sum == 3 in the covered region
+    assert out["geo_mask_sum"].max() == 3
+    m = out["final_mask"]
+    assert m.any()
+    # fused depth equals analytic depth where all views agree
+    err = np.abs(out["depth_est_averaged"][m] - depths[0][m]) / depths[0][m]
+    assert np.median(err) < 2e-3
+    # photometric rejection: threshold above confidence kills everything
+    out2 = fuse_reference_view(
+        depths[0], confidence, Ks[0], Es[0],
+        np.stack(depths[1:]), np.stack(Ks[1:]), np.stack(Es[1:]),
+        photomask=0.95,
+    )
+    assert not out2["final_mask"].any()
+
+
+def test_eval_cli_end_to_end(tmp_path):
+    """Full two-stage pipeline through the eval.py CLI on a synthetic eval
+    tree with a fresh-init model: checks the on-disk output contract
+    (images/depth_est/confidence/cams/mask trees + PLY)."""
+    from scene_3dreconstruction_mvsnet_tpu.data.synthetic import (
+        make_eval_tree,
+        write_scan_list,
+    )
+
+    root = tmp_path / "acq"
+    rig = SyntheticRig(n_views=4, img_hw=(64, 96), baseline=3.0)
+    make_eval_tree(str(root), scan="scan1", rig=rig, ndepths=16)
+    write_scan_list(str(root / "test.txt"), ["scan1"])
+
+    # random-weight orbax checkpoint
+    import jax
+    from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
+    from scene_3dreconstruction_mvsnet_tpu.train import (
+        TrainState,
+        make_optimizer,
+        save_checkpoint,
+    )
+
+    model = MVSNet()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 2, 64, 96, 3)),
+        jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)),
+        jnp.linspace(1.0, 2.0, 16)[None],
+    )
+    state = TrainState.create(variables, make_optimizer(lambda s: 1e-3))
+    ckpt_dir = save_checkpoint(str(tmp_path / "log"), 0, state)
+
+    outdir = str(tmp_path / "outputs")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [
+        sys.executable, os.path.join(repo, "eval.py"),
+        "--dataset", "dataloader_eval", "--dataset_name", "bds8",
+        "--testpath", str(root), "--testlist", str(root / "test.txt"),
+        "--loadckpt", ckpt_dir, "--outdir", outdir,
+        "--NviewGen", "3", "--NviewFilter", "3", "--numdepth", "16",
+        "--interval_scale", "1.0", "--photomask", "0.0",
+        "--geomask", "1", "--condmask_pixel", "6.0", "--condmask_depth", "0.5",
+        "--save_ply", "--num_workers", "0",
+        # synthetic tree is 64x96 with plain subfolder names
+        "--img_res", "64", "96",
+        "--cam_subfolder", "Cameras",
+        "--img_subfolder", "Rectified/{}/rect_C{:0>3}_L00.png",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=900)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+
+    out_scan = os.path.join(outdir, "acq", "scan1")
+    for v in range(4):
+        assert os.path.exists(os.path.join(out_scan, f"depth_est/{v:0>8}.pfm"))
+        assert os.path.exists(os.path.join(out_scan, f"confidence/{v:0>8}.pfm"))
+        assert os.path.exists(os.path.join(outdir, "acq", "scan1", "cams", f"00000{v:0>3}_cam.txt"))
+        assert os.path.exists(os.path.join(out_scan, f"mask/{v:0>8}_final.png"))
+    ply = os.path.join(outdir, "acq", "mvsnet001_l3.ply")
+    assert os.path.exists(ply)
+    from scene_3dreconstruction_mvsnet_tpu.io.ply import read_ply
+
+    pts, cols = read_ply(ply)
+    assert pts.shape[0] > 0
+    # depth maps at 1/4 image res
+    from scene_3dreconstruction_mvsnet_tpu.io.pfm import read_pfm
+
+    d, _ = read_pfm(os.path.join(out_scan, "depth_est/00000000.pfm"))
+    assert d.shape == (16, 24)
