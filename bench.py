@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark: depth-map inference throughput on the flagship config.
+
+Prints ONE JSON line:
+  {"metric": "depthmaps_per_sec_per_chip", "value": N, "unit": "depthmaps/s",
+   "vs_baseline": N, ...}
+
+Config: the BASELINE.md headline — 5 views, 192 depth planes, 864x1152
+images (feature/depth res 216x288), batch 1, single chip. vs_baseline is
+the ratio to the PyTorch reference measured on this container's CPU
+(baseline_cpu.json, produced by scripts/measure_baseline.py; the reference
+publishes no numbers — BASELINE.md).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+V, H, W, D = 5, 864, 1152, 192
+WARMUP = 2
+ITERS = 5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    model = MVSNet(
+        dtype=jnp.bfloat16 if on_tpu else None,
+        use_pallas_regression=False,
+    )
+
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(1, V, H, W, 3).astype(np.float32))
+    K = np.array([[W * 0.7, 0, W / 8], [0, W * 0.7, H / 8], [0, 0, 1]], np.float32)
+    projs = []
+    for v in range(V):
+        E = np.eye(4, dtype=np.float32)
+        E[0, 3] = -2.0 * v
+        P = E.copy()
+        P[:3, :4] = (K / 4.0) @ E[:3, :4]
+        projs.append(P)
+    proj = jnp.asarray(np.stack(projs)[None])
+    dv = jnp.asarray(np.linspace(425, 905, D, dtype=np.float32)[None])
+
+    variables = model.init(jax.random.PRNGKey(0), imgs, proj, dv)
+
+    @jax.jit
+    def fwd(variables, imgs, proj, dv):
+        out = model.apply(variables, imgs, proj, dv, train=False)
+        return out["depth"], out["photometric_confidence"]
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(fwd(variables, imgs, proj, dv))
+    t0 = time.time()
+    for _ in range(ITERS):
+        jax.block_until_ready(fwd(variables, imgs, proj, dv))
+    sec = (time.time() - t0) / ITERS
+    throughput = 1.0 / sec
+
+    baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "baseline_cpu.json")
+    vs_baseline = None
+    if os.path.exists(baseline_file):
+        with open(baseline_file) as f:
+            base = json.load(f)
+        ref = base.get("headline_5v_192d_864x1152", {}).get("depthmaps_per_sec")
+        if ref:
+            vs_baseline = throughput / ref
+
+    print(json.dumps({
+        "metric": "depthmaps_per_sec_per_chip",
+        "value": round(throughput, 4),
+        "unit": "depthmaps/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "config": f"{V} views, {D} planes, {H}x{W}, batch 1, "
+                  f"{'bf16' if on_tpu else 'f32'} convs",
+        "seconds_per_depthmap": round(sec, 4),
+        "platform": platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

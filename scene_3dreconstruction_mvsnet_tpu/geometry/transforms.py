@@ -130,7 +130,9 @@ def plane_sweep_coords(
       height, width: reference feature map size (static).
 
     Returns:
-      [B, D, H*W, 2] float32 source pixel coordinates (x, y).
+      (x, y): two [B, D, H*W] float32 source pixel coordinate arrays.
+      (Returned separately — a trailing xy axis of size 2 would be padded
+      64x into TPU lanes when materialized.)
     """
     dtype = depth_values.dtype
     proj = jnp.matmul(src_proj, jnp.linalg.inv(ref_proj), precision=_EXACT)  # [B,4,4]
@@ -139,10 +141,14 @@ def plane_sweep_coords(
 
     xyz = pixel_grid(height, width, dtype=dtype)  # [3, HW]
     rot_xyz = jnp.matmul(rot, xyz, precision=_EXACT)  # [B,3,HW]
-    # [B,3,D,HW] = rot_xyz[:, :, None, :] * depth[:, None, :, None] + trans
-    proj_xyz = (
-        rot_xyz[:, :, None, :] * depth_values[:, None, :, None]
-        + trans[:, :, None, :]
-    )
-    xy = proj_xyz[:, :2] / proj_xyz[:, 2:3]  # [B,2,D,HW]
-    return jnp.moveaxis(xy, 1, -1)  # [B,D,HW,2]
+    # per-component [B,D,HW]: rot_xyz broadcast over depth planes + trans
+    def comp(i):
+        return (
+            rot_xyz[:, i, None, :] * depth_values[:, :, None]
+            + trans[:, i, None, :]
+        )
+
+    z = comp(2)
+    x = comp(0) / z
+    y = comp(1) / z
+    return x, y

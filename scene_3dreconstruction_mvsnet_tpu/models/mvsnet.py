@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -46,6 +47,10 @@ class MVSNet(nn.Module):
         None = f32 for bit-parity eval). Params are always f32.
       align_corners: sampler convention; False matches the reference under
         PyTorch 2.x (see ops/sampling.py).
+      volume_sharding: optional jax.sharding.NamedSharding applied to the
+        cost volume ([B, D, H, W, C]) with with_sharding_constraint —
+        typically P('data', 'sweep') so depth hypotheses shard across chips
+        and GSPMD inserts the U-Net's halo exchanges (parallel/sharding.py).
     """
 
     refine: bool = False
@@ -53,6 +58,7 @@ class MVSNet(nn.Module):
     use_pallas_regression: bool = False
     dtype: Any = None
     align_corners: bool = False
+    volume_sharding: Any = None
 
     def setup(self):
         self.feature = FeatureNet(dtype=self.dtype)
@@ -78,8 +84,12 @@ class MVSNet(nn.Module):
         feats = feats.reshape(B, V, H // 4, W // 4, feats.shape[-1])
 
         # Step 2: plane-sweep variance cost volume [B, D, H/4, W/4, 32].
+        # Features warp in the compute dtype (bf16 on the fast path, which
+        # halves the dominant HBM traffic); the sum/sum^2 accumulators and
+        # the variance subtraction stay f32 inside cost_volume_variance.
+        sweep_dtype = self.dtype or jnp.float32
         volume = cost_volume_variance(
-            feats.astype(jnp.float32),
+            feats.astype(sweep_dtype),
             proj_matrices.astype(jnp.float32),
             depth_values.astype(jnp.float32),
             depth_chunk=self.depth_chunk,
@@ -87,6 +97,8 @@ class MVSNet(nn.Module):
         )
         if self.dtype is not None:
             volume = volume.astype(self.dtype)
+        if self.volume_sharding is not None:
+            volume = jax.lax.with_sharding_constraint(volume, self.volume_sharding)
 
         # Step 3: 3D U-Net regularization -> [B, D, h, w].
         cost_reg = self.cost_regularization(volume, train=train)[..., 0]

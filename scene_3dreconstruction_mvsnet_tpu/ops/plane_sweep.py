@@ -31,13 +31,16 @@ def _sweep_variance_chunk(
     """
     B, V, H, W, C = features.shape
     Dc = depth_chunk.shape[1]
+    acc_dtype = jnp.float32  # accumulate sum/sum^2 in f32 even for bf16 warps
 
     ref_fea = features[:, 0]
     ref_proj = proj_matrices[:, 0]
 
     # Reference view enters the accumulators unwarped, broadcast over depth
     # (/root/reference/models/mvsnet.py:145-147).
-    ref_volume = jnp.broadcast_to(ref_fea[:, None], (B, Dc, H, W, C))
+    ref_volume = jnp.broadcast_to(
+        ref_fea[:, None].astype(acc_dtype), (B, Dc, H, W, C)
+    )
     init = (ref_volume, ref_volume * ref_volume)
 
     src_feas = jnp.moveaxis(features[:, 1:], 1, 0)  # [V-1, B, H, W, C]
@@ -48,13 +51,13 @@ def _sweep_variance_chunk(
         src_fea, src_proj = xs
         warped = warp_src_feature(
             src_fea, src_proj, ref_proj, depth_chunk, align_corners=align_corners
-        )
+        ).astype(acc_dtype)
         return (vol_sum + warped, vol_sq + warped * warped), None
 
     (vol_sum, vol_sq), _ = jax.lax.scan(body, init, (src_feas, src_projs))
-    inv_v = jnp.asarray(1.0 / V, dtype=vol_sum.dtype)
+    inv_v = jnp.asarray(1.0 / V, dtype=acc_dtype)
     mean = vol_sum * inv_v
-    return vol_sq * inv_v - mean * mean
+    return (vol_sq * inv_v - mean * mean).astype(features.dtype)
 
 
 def cost_volume_variance(

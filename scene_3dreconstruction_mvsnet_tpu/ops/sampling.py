@@ -16,13 +16,22 @@ Parity notes (the <1 mm depth-delta budget lives or dies here):
 * padding_mode='zeros' means each of the 4 bilinear taps that falls outside
   the image contributes 0 while weights are unchanged (no renormalization).
 
+TPU performance: the 4 bilinear taps are fetched with a SINGLE ``lax.gather``
+of the 2x2xC footprint from a one-pixel zero-padded copy of the image.
+Clamping the footprint origin into the padded frame makes every out-of-range
+tap read the zero border, which IS the zeros-padding semantics — no masks,
+no per-tap gathers (4x fewer gather rows than the naive formulation, and no
+[..., 2] coordinate tensor that would pad 64x into TPU lanes).
+
 Layouts are channels-last ([B, H, W, C]) so the downstream 3D convolutions
 hit the MXU without transposes.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..geometry.transforms import plane_sweep_coords
 
@@ -35,45 +44,73 @@ def _unnormalize_coord(g: jnp.ndarray, size: int, align_corners: bool) -> jnp.nd
     return ((g + 1.0) * size - 1.0) / 2.0
 
 
-def bilinear_sample_2d(
-    img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
-) -> jnp.ndarray:
+def _gather_2x2(padded: jnp.ndarray, y0c: jnp.ndarray, x0c: jnp.ndarray) -> jnp.ndarray:
+    """Gather the 2x2xC footprint at (y0c, x0c) from a zero-padded image.
+
+    padded: [Hp, Wp, C] (2px zero border, so valid starts are 0..Hp-2);
+    y0c/x0c: [N] int32 clamped starts -> [N, 2, 2, C].
+    """
+    C = padded.shape[-1]
+    starts = jnp.stack([y0c, x0c], axis=-1)  # [N, 2]
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+    return lax.gather(
+        padded,
+        starts,
+        dnums,
+        slice_sizes=(2, 2, C),
+        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
+def _bilinear_from_footprint(fp: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp.ndarray:
+    """fp: [N, 2, 2, C] (y-major footprint), wx/wy: [N] -> [N, C].
+
+    Interpolates in the footprint dtype: the gathered footprint is 4x the
+    output and XLA materializes it, so widening it to f32 on the bf16 fast
+    path would double the peak HBM of the whole sweep."""
+    wx = wx[:, None].astype(fp.dtype)
+    wy = wy[:, None].astype(fp.dtype)
+    one = jnp.asarray(1.0, fp.dtype)
+    top = fp[:, 0, 0] * (one - wx) + fp[:, 0, 1] * wx
+    bot = fp[:, 1, 0] * (one - wx) + fp[:, 1, 1] * wx
+    return top * (one - wy) + bot * wy
+
+
+def bilinear_sample_2d(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Sample ``img`` [B, H, W, C] at float pixel coords ``x``/``y`` [B, N]
     with bilinear interpolation and zeros out-of-bounds padding.
 
-    Returns [B, N, C].
+    Returns [B, N, C] in the image dtype (interp weights in f32).
     """
     B, H, W, C = img.shape
     dtype = img.dtype
 
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
-    wx = (x - x0f).astype(dtype)[..., None]
-    wy = (y - y0f).astype(dtype)[..., None]
+    wx = x - x0f
+    wy = y - y0f
 
-    x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
-    x1 = x0 + 1
-    y1 = y0 + 1
+    # Clamp the footprint origin into the 2px zero-padded frame. Origins in
+    # [-1, dim-1] keep their true mixed border/real taps; origins clamped to
+    # -2 or dim land entirely in the zero border, so far-out coordinates
+    # sample exact zeros — torch's zeros padding with no masking.
+    x0c = jnp.clip(x0f, -2.0, float(W)).astype(jnp.int32) + 2
+    y0c = jnp.clip(y0f, -2.0, float(H)).astype(jnp.int32) + 2
 
-    flat = img.reshape(B, H * W, C)
+    padded = jnp.pad(img, ((0, 0), (2, 2), (2, 2), (0, 0)))
 
-    def tap(yi, xi):
-        inb = (
-            (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
-        )
-        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)  # [B,N,C]
-        return vals * inb[..., None].astype(dtype)
+    def per_image(p, yc, xc, wxi, wyi):
+        fp = _gather_2x2(p, yc, xc)
+        return _bilinear_from_footprint(fp, wxi, wyi)
 
-    v00 = tap(y0, x0)
-    v01 = tap(y0, x1)
-    v10 = tap(y1, x0)
-    v11 = tap(y1, x1)
-
-    top = v00 * (1.0 - wx) + v01 * wx
-    bot = v10 * (1.0 - wx) + v11 * wx
-    return top * (1.0 - wy) + bot * wy
+    out = jax.vmap(per_image)(padded, y0c, x0c, wx, wy)
+    return out.astype(dtype)
 
 
 def grid_sample_2d(
@@ -126,9 +163,9 @@ def warp_src_feature(
     B, H, W, C = src_fea.shape
     D = depth_values.shape[1]
 
-    coords = plane_sweep_coords(src_proj, ref_proj, depth_values, H, W)  # [B,D,HW,2]
-    px = coords[..., 0].reshape(B, D * H * W)
-    py = coords[..., 1].reshape(B, D * H * W)
+    px, py = plane_sweep_coords(src_proj, ref_proj, depth_values, H, W)  # [B,D,HW] x2
+    px = px.reshape(B, D * H * W)
+    py = py.reshape(B, D * H * W)
 
     # Reference normalization (align_corners=True convention) ...
     gx = px / ((W - 1) / 2.0) - 1.0

@@ -119,11 +119,12 @@ def test_plane_sweep_coords_identity(rng):
     B, H, W, D = 1, 6, 8, 3
     proj = _random_projection(rng, B)
     depth = np.linspace(10, 20, D, dtype=np.float32)[None]
-    coords = plane_sweep_coords(
+    cx, cy = plane_sweep_coords(
         jnp.asarray(proj), jnp.asarray(proj), jnp.asarray(depth), H, W
     )
-    coords = np.asarray(coords).reshape(B, D, H, W, 2)
+    cx = np.asarray(cx).reshape(B, D, H, W)
+    cy = np.asarray(cy).reshape(B, D, H, W)
     xs, ys = np.meshgrid(np.arange(W), np.arange(H))
     for d in range(D):
-        np.testing.assert_allclose(coords[0, d, ..., 0], xs, atol=1e-3)
-        np.testing.assert_allclose(coords[0, d, ..., 1], ys, atol=1e-3)
+        np.testing.assert_allclose(cx[0, d], xs, atol=1e-3)
+        np.testing.assert_allclose(cy[0, d], ys, atol=1e-3)
