@@ -32,9 +32,13 @@ def main():
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
 
+    # depth_chunk=48: the warped-footprint buffers of the plane sweep are
+    # streamed in 4 depth chunks; the full-D sweep needs ~34 GB vs 16 GB HBM
+    # at this resolution (see BASELINE.md headline config).
     model = MVSNet(
         dtype=jnp.bfloat16 if on_tpu else None,
-        use_pallas_regression=False,
+        depth_chunk=48 if on_tpu else None,
+        use_pallas_regression=on_tpu,
     )
 
     rng = np.random.RandomState(0)
@@ -57,11 +61,17 @@ def main():
         out = model.apply(variables, imgs, proj, dv, train=False)
         return out["depth"], out["photometric_confidence"]
 
-    for _ in range(WARMUP):
-        jax.block_until_ready(fwd(variables, imgs, proj, dv))
+    # NB: through the remote-TPU tunnel a result fetch costs ~27 ms RTT and
+    # block_until_ready does not actually block, so: pipeline ITERS calls
+    # (distinct inputs to defeat any caching) and force completion with one
+    # scalar fetch of every result at the end.
+    def force(outs):
+        return [float(jnp.sum(o[0])) for o in outs]
+
+    inputs = [imgs + np.float32(i) * 1e-4 for i in range(max(WARMUP, ITERS))]
+    force([fwd(variables, inputs[i], proj, dv) for i in range(WARMUP)])
     t0 = time.time()
-    for _ in range(ITERS):
-        jax.block_until_ready(fwd(variables, imgs, proj, dv))
+    force([fwd(variables, inputs[i], proj, dv) for i in range(ITERS)])
     sec = (time.time() - t0) / ITERS
     throughput = 1.0 / sec
 

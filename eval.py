@@ -174,6 +174,7 @@ def main() -> None:
             img_subfolder=img_subfolder,
             img_res=img_res,
             num_workers=args.num_workers,
+            debug_bitmask=args.debug_MVSnet,
         )
 
     if args.skip_filter:

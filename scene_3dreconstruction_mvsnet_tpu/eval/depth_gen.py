@@ -67,6 +67,7 @@ def save_depth(
     img_subfolder: str = "Rectified/{}/{:0>8}.png",
     img_res: tuple[int, int] = (512, 640),
     num_workers: int = 4,
+    debug_bitmask: int = 0,
 ) -> dict:
     """Run depth generation for every reference view. Returns timing stats."""
     print(f"============ Generating DEPTH MAPS using {NviewGen} views")
@@ -94,6 +95,13 @@ def save_depth(
     writer = ThreadPoolExecutor(max_workers=2)
     pending = []
     for batch_idx, sample in enumerate(loader):
+        if batch_idx == 0 and debug_bitmask:
+            from ..utils.debug_dump import debug_forward
+
+            debug_forward(
+                model, variables, sample["imgs"], sample["proj_matrices"],
+                sample["depth_values"], debug_bitmask, outdir_acq,
+            )
         t0 = time.time()
         outputs = infer(
             variables,

@@ -104,10 +104,12 @@ class MVSNet(nn.Module):
         cost_reg = self.cost_regularization(volume, train=train)[..., 0]
 
         # Step 4: softmax regression + confidence (f32 for a stable softmax).
+        # The fused Pallas kernel is inference-only (no VJP registered);
+        # training always takes the differentiable XLA composite.
         depth, confidence = regress_depth_and_confidence(
             cost_reg.astype(jnp.float32),
             depth_values.astype(jnp.float32),
-            use_pallas=self.use_pallas_regression,
+            use_pallas=self.use_pallas_regression and not train,
         )
 
         outputs = {"depth": depth, "photometric_confidence": confidence}
