@@ -61,14 +61,18 @@ def main():
         out = model.apply(variables, imgs, proj, dv, train=False)
         return out["depth"], out["photometric_confidence"]
 
-    # NB: through the remote-TPU tunnel a result fetch costs ~27 ms RTT and
-    # block_until_ready does not actually block, so: pipeline ITERS calls
-    # (distinct inputs to defeat any caching) and force completion with one
-    # scalar fetch of every result at the end.
+    # Measurement notes for the remote-TPU tunnel (axon):
+    #  - a result fetch costs ~27 ms RTT and block_until_ready does not block,
+    #  - uploading a 24 MB input costs ~2 s, so inputs must be pre-placed,
+    #  - identical repeated launches can be cached, so inputs are distinct.
+    # Method: pre-place ITERS distinct inputs on device, pipeline the calls,
+    # force completion by fetching a scalar from every result.
     def force(outs):
         return [float(jnp.sum(o[0])) for o in outs]
 
-    inputs = [imgs + np.float32(i) * 1e-4 for i in range(max(WARMUP, ITERS))]
+    n = max(WARMUP, ITERS)
+    inputs = [jax.device_put(np.asarray(imgs) + np.float32(i) * 1e-4) for i in range(n)]
+    _ = [float(jnp.sum(b)) for b in inputs]  # ensure uploads complete
     force([fwd(variables, inputs[i], proj, dv) for i in range(WARMUP)])
     t0 = time.time()
     force([fwd(variables, inputs[i], proj, dv) for i in range(ITERS)])
