@@ -38,6 +38,9 @@ parser.add_argument("--loadckpt", default=None,
                     help="checkpoint: orbax ckpt dir or a PyTorch .ckpt file")
 parser.add_argument("--outdir", default="./outputs")
 parser.add_argument("--save_ply", action="store_true")
+parser.add_argument("--postprocess", action="store_true",
+                    help="crop to bin bbox + statistical outlier removal + "
+                         "voxel downsample of the fused cloud")
 
 parser.add_argument("--NviewGen", type=int, default=5,
                     help="number of views used to generate depth maps (DTU=5)")
@@ -203,6 +206,7 @@ def main() -> None:
             condmask_depth=args.condmask_depth,
             save_ply=args.save_ply,
             xy_scale=args.xy_scale,
+            postprocess=args.postprocess,
         )
 
 

@@ -6,6 +6,14 @@ from .filtering import (
 )
 from .depth_gen import save_depth
 from .fusion import filter_depth
+from .scene_kit import (
+    BBox,
+    get_frame_bbox,
+    camera_poses,
+    voxel_down_sample,
+    remove_statistical_outliers,
+    postprocess_cloud,
+)
 
 __all__ = [
     "reproject_with_depth",
@@ -14,4 +22,10 @@ __all__ = [
     "fuse_reference_view",
     "save_depth",
     "filter_depth",
+    "BBox",
+    "get_frame_bbox",
+    "camera_poses",
+    "voxel_down_sample",
+    "remove_statistical_outliers",
+    "postprocess_cloud",
 ]

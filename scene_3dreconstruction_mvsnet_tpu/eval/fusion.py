@@ -40,6 +40,8 @@ def filter_depth(
     condmask_depth: float = 0.01,
     save_ply: bool = False,
     xy_scale: float = 1.0531,
+    postprocess: bool = False,
+    voxel_size: float = 5.0,
 ) -> dict:
     """Filter + fuse one scan. Returns stats incl. per-view timing and mask
     coverage. File layout matches the reference so outputs are drop-in
@@ -150,6 +152,22 @@ def filter_depth(
     if save_ply:
         write_ply(plyfilename, vertices_all, colors_all)
         print("saving the final model to", plyfilename)
+
+    if postprocess and vertices_all.shape[0]:
+        # reference post-processing for non-DTU rigs: crop to the outer bin
+        # bbox, statistical outlier removal, 5 mm voxel downsample, write
+        # scaled by 0.01 (/root/reference/eval.py:832-839)
+        from .scene_kit import get_frame_bbox, postprocess_cloud
+
+        _, outer = get_frame_bbox(context=outdir_acq)
+        pts, cols = postprocess_cloud(
+            vertices_all, colors_all,
+            crop_bbox=None if dataset_name == "dtu" else outer,
+            voxel_size=voxel_size,
+        )
+        pcd_fname = os.path.join(out_folder, f"fused_dwnsmpld_{int(voxel_size)}mm.ply")
+        write_ply(pcd_fname, pts * 0.01, cols)
+        print("saving model to", pcd_fname)
 
     avg_time = float(np.mean(filter_times)) if filter_times else 0.0
     print(f"Averaged filter time: {avg_time}")
