@@ -1,13 +1,13 @@
 """Pallas TPU kernel for the plane-sweep homography warp (EXPERIMENTAL).
 
 Status (round 1): numerically exact vs the XLA sampler on real TPU
-(maxdiff ~1e-4 at DTU-full feature shapes) with correct validity gating,
-but v1 is not yet faster than XLA's gather (222 vs 139 ms/view at
-216x288xD192): the unrolled (YSPAN+1)-row x 3-lane-half inner loop does
-~2.4x redundant work. Planned optimizations: depth-group processing over
-shared windows (adjacent hypotheses move sub-pixel), bf16 patches (halves
-vreg traffic), 2-half windows for translation-dominant rigs, per-rig YSPAN.
-Until it wins, the model flag `use_pallas_warp` stays default-off.
+(maxdiff ~1e-4 at DTU-full feature shapes) with correct validity gating.
+The default envelope v1 was 222 vs 139 ms/view against XLA's gather; the
+envelope is now tunable per rig (`suggest_envelope`) — translation-dominant
+rigs run with YSPAN=2 / 2 lane-halves, cutting the inner loop ~2.4x.
+Until it beats XLA across rigs, the model flag `use_pallas_warp` stays
+default-off. Remaining plan: depth-group windows, bf16 patches, fused
+sum/sum^2 accumulation.
 
 Why a kernel: XLA lowers the bilinear warp's random access to a row-gather
 that runs at ~13 ns/tap (~150 ms per source view at the DTU-full config).
@@ -29,8 +29,12 @@ epipolar segments inside a small source window. So:
 Window/patch origins are precomputed with cheap jnp corner evaluations
 (projective coordinates are monotonic along rows and in 1/depth, so extremes
 sit at corners). `plan_windows` also returns a validity flag: if a rig's
-geometry exceeds the static window envelope (PR/PC/YSPAN/XSPAN), the caller
-falls back to the XLA sampler.
+geometry exceeds the envelope, the caller falls back to the XLA sampler.
+
+Mosaic constraints encoded here: `tpu.dynamic_gather` is vreg-local
+(gathers within 128 lanes), HBM DMA slice starts and VMEM lane-dim slice
+starts must be provably 128-aligned (planner alignment + pl.multiple_of),
+and per-row scalar offsets ride SMEM blocks.
 
 The kernel consumes the source features pre-transposed to [H, C, W] so the
 channel axis rides sublanes (8 channels per vreg) and the window's x axis
@@ -44,15 +48,17 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# static envelope (f32 patch: PR * C * PC * 4B = 48*32*512*4 = 3.1 MB VMEM)
+# default static envelope (f32 patch: PR * C * PC * 4B = 48*32*512*4 = 3.1 MB)
 PR = 48      # patch rows
 PC = 512     # patch cols
 YSPAN = 4    # rows examined per output row
-XSPAN = 384  # cols examined per output row (3 x 128-lane halves; one half is 128-alignment slack)
+XSPAN = 384  # cols per output row (multiple of 128; one 128-half is
+             # alignment slack for the window origin)
 TILE_H = 8
 TILE_W = 128
 
@@ -61,10 +67,10 @@ class WindowPlan(NamedTuple):
     """Precomputed DMA/window origins for one (src, ref, depth_values)."""
 
     patch_y0: jnp.ndarray  # [nYB, nXB] i32 patch origin rows (clamped)
-    patch_x0: jnp.ndarray  # [nYB, nXB] i32 patch origin cols (clamped)
-    woff_y: jnp.ndarray    # [D, nYB, TILE_H, nXB] i32 window row offset in patch
-    woff_x: jnp.ndarray    # [D, nYB, TILE_H, nXB] i32 window col offset in patch
-    valid: jnp.ndarray     # [] bool — geometry fits the static envelope
+    patch_x0: jnp.ndarray  # [nYB, nXB] i32 patch origin cols (128-aligned)
+    woff_y: jnp.ndarray    # [D, nYB, TILE_H, nXB] i32 window row offset
+    woff_x: jnp.ndarray    # [D, nYB, TILE_H, nXB] i32 window col offset
+    valid: jnp.ndarray     # [] bool — geometry fits the envelope
 
 
 def _coord_terms(src_proj, ref_proj):
@@ -88,12 +94,71 @@ def _sample_coord(rot, trans, x, y, inv_d, W, H):
     return xe, ye
 
 
+def _corner_spans(src_proj, ref_proj, depth_values, H, W):
+    """[D, H, nXB] lo/hi sample-coordinate bounds per (plane, row, x-block)."""
+    nXB = -(-W // TILE_W)
+    rot, trans = _coord_terms(src_proj, ref_proj)
+    inv_d = (1.0 / depth_values).astype(jnp.float32)
+    xs_edges = jnp.stack(
+        [jnp.arange(nXB) * TILE_W,
+         jnp.minimum((jnp.arange(nXB) + 1) * TILE_W - 1, W - 1)],
+        axis=-1,
+    ).astype(jnp.float32)  # [nXB, 2]
+    ys = jnp.arange(H, dtype=jnp.float32)
+    xe, ye = _sample_coord(
+        rot, trans,
+        xs_edges[None, None], ys[None, :, None, None],
+        inv_d[:, None, None, None], W, H,
+    )  # [D, H, nXB, 2]
+    x_lo = jnp.floor(jnp.min(xe, axis=-1)).astype(jnp.int32)
+    x_hi = jnp.floor(jnp.max(xe, axis=-1)).astype(jnp.int32) + 1
+    y_lo = jnp.floor(jnp.min(ye, axis=-1)).astype(jnp.int32)
+    y_hi = jnp.floor(jnp.max(ye, axis=-1)).astype(jnp.int32) + 1
+    return x_lo, x_hi, y_lo, y_hi
+
+
+def suggest_envelope(
+    src_projs, ref_proj, depth_values, height: int, width: int
+) -> dict:
+    """Host-side: tightest friendly (yspan, xspan, pr, pc) covering all
+    source views of a rig. Run once per scene; the returned dict feeds
+    warp_src_feature_pallas as static kwargs (one compile per envelope)."""
+    H, W = height, width
+    y_need_max, x_need_max = 0, 0
+    for src_proj in np.asarray(src_projs).reshape(-1, 4, 4):
+        x_lo, x_hi, y_lo, y_hi = _corner_spans(
+            jnp.asarray(src_proj), jnp.asarray(ref_proj),
+            jnp.asarray(depth_values), H, W,
+        )
+        # only spans that intersect the image matter
+        inter = (
+            (np.asarray(x_lo) < W) & (np.asarray(x_hi) > 0)
+            & (np.asarray(y_lo) < H) & (np.asarray(y_hi) > 0)
+        )
+        xn = np.where(inter, np.asarray(x_hi - x_lo) + 2, 0)
+        yn = np.where(inter, np.asarray(y_hi - y_lo) + 2, 0)
+        x_need_max = max(x_need_max, int(xn.max()))
+        y_need_max = max(y_need_max, int(yn.max()))
+
+    yspan = max(2, int(2 ** np.ceil(np.log2(max(y_need_max, 1)))))
+    xspan = 128 * (-(-(x_need_max + 1 + 128) // 128))  # +alignment slack
+    pr = max(yspan + 8, 2 * yspan)
+    pr = -(-pr // 8) * 8
+    pc = max(xspan + 128, 512)
+    return {"yspan": yspan, "xspan": xspan, "pr": pr, "pc": pc}
+
+
 def plan_windows(
     src_proj: jnp.ndarray,
     ref_proj: jnp.ndarray,
     depth_values: jnp.ndarray,
     height: int,
     width: int,
+    *,
+    yspan: int = YSPAN,
+    xspan: int = XSPAN,
+    pr: int = PR,
+    pc: int = PC,
 ) -> WindowPlan:
     """Corner-evaluate the sweep coordinates to place patches and windows.
 
@@ -105,67 +170,36 @@ def plan_windows(
     nXB = -(-W // TILE_W)
     D = depth_values.shape[0]
 
-    rot, trans = _coord_terms(src_proj, ref_proj)
-    inv_d = (1.0 / depth_values).astype(jnp.float32)  # [D]
-
-    # corner grid: x block edges [nXB, 2], y rows [H]
-    xs_edges = jnp.stack(
-        [jnp.arange(nXB) * TILE_W, jnp.minimum((jnp.arange(nXB) + 1) * TILE_W - 1, W - 1)],
-        axis=-1,
-    ).astype(jnp.float32)  # [nXB, 2]
-    ys = jnp.arange(H, dtype=jnp.float32)  # [H]
-
-    # evaluate at [D, H, nXB, 2]
-    xe, ye = _sample_coord(
-        rot,
-        trans,
-        xs_edges[None, None],
-        ys[None, :, None, None],
-        inv_d[:, None, None, None],
-        W,
-        H,
-    )
-    # per (d, row, xb): span of sample coords over the row's lanes
-    x_lo = jnp.floor(jnp.min(xe, axis=-1)).astype(jnp.int32)  # [D, H, nXB]
-    x_hi = jnp.floor(jnp.max(xe, axis=-1)).astype(jnp.int32) + 1
-    y_lo = jnp.floor(jnp.min(ye, axis=-1)).astype(jnp.int32)
-    y_hi = jnp.floor(jnp.max(ye, axis=-1)).astype(jnp.int32) + 1
+    x_lo, x_hi, y_lo, y_hi = _corner_spans(src_proj, ref_proj, depth_values, H, W)
 
     # windows must cover [lo, hi] (+1 for the bilinear +1 tap)
     x_need = x_hi - x_lo + 2
     y_need = y_hi - y_lo + 2
 
-    # per-tile patch origin: min over (d, rows of the band)
     pad_h = nYB * TILE_H - H
-    def band_reduce(a, reduce_fn, pad_value):
-        a = jnp.pad(a, ((0, 0), (0, pad_h), (0, 0)), constant_values=pad_value)
-        a = a.reshape(D, nYB, TILE_H, nXB)
-        return reduce_fn(reduce_fn(a, axis=2), axis=0)  # [nYB, nXB]
 
-    big = jnp.iinfo(jnp.int32).max // 4
-    patch_y0 = jnp.clip(band_reduce(y_lo, jnp.min, big) - 1, -PR, max(H - 1, 0))
-    patch_x0 = jnp.clip(band_reduce(x_lo, jnp.min, big) - 1, -PC, max(W - 1, 0))
-    # clamp into DMA-safe range (patch must lie within the source image; the
-    # masks still zero out-of-image taps)
-    patch_y0 = jnp.clip(patch_y0, 0, max(H - PR, 0))
-    # the patch DMA's lane-dim start must be 128-aligned
-    patch_x0 = (jnp.clip(patch_x0, 0, max(W - PC, 0)) // 128) * 128
-
-    # per-(d, row) window offsets relative to the tile's patch
-    y_lo_p = jnp.pad(y_lo, ((0, 0), (0, pad_h), (0, 0)), mode="edge")
-    x_lo_p = jnp.pad(x_lo, ((0, 0), (0, pad_h), (0, 0)), mode="edge")
-    y_lo_b = y_lo_p.reshape(D, nYB, TILE_H, nXB)  # [D, nYB, TH, nXB]
-    x_lo_b = x_lo_p.reshape(D, nYB, TILE_H, nXB)
-    woff_y = jnp.clip(y_lo_b - patch_y0[None, :, None, :] - 1, 0, PR - YSPAN)
-    woff_x = jnp.clip(x_lo_b - patch_x0[None, :, None, :] - 1, 0, PC - XSPAN)
-
-    # validity: every (d, row, xb) window fits the envelope. The in-image
-    # part of the needed span must fit; fully out-of-image rows are fine
-    # (masks zero them) — restrict the check to spans intersecting the image.
-    def banded(a, pad_value=0):
-        a = jnp.pad(a, ((0, 0), (0, pad_h), (0, 0)), constant_values=pad_value)
+    def banded(a, pad_value=0, mode="constant"):
+        if mode == "edge":
+            a = jnp.pad(a, ((0, 0), (0, pad_h), (0, 0)), mode="edge")
+        else:
+            a = jnp.pad(a, ((0, 0), (0, pad_h), (0, 0)), constant_values=pad_value)
         return a.reshape(D, nYB, TILE_H, nXB)
 
+    big = jnp.iinfo(jnp.int32).max // 4
+    patch_y0 = jnp.min(jnp.min(banded(y_lo, big), axis=2), axis=0) - 1  # [nYB, nXB]
+    patch_x0 = jnp.min(jnp.min(banded(x_lo, big), axis=2), axis=0) - 1
+    patch_y0 = jnp.clip(patch_y0, 0, max(H - pr, 0))
+    # the patch DMA's lane-dim start must be 128-aligned
+    patch_x0 = (jnp.clip(patch_x0, 0, max(W - pc, 0)) // 128) * 128
+
+    # per-(d, row) window offsets relative to the tile's patch
+    y_lo_b = banded(y_lo, mode="edge")
+    x_lo_b = banded(x_lo, mode="edge")
+    woff_y = jnp.clip(y_lo_b - patch_y0[None, :, None, :] - 1, 0, pr - yspan)
+    woff_x = jnp.clip(x_lo_b - patch_x0[None, :, None, :] - 1, 0, pc - xspan)
+
+    # validity: every (d, row, xb) window fits the envelope. Fully
+    # out-of-image spans are fine (masks zero them).
     x_need_p = banded(x_need)
     y_need_p = banded(y_need)
     x_lo_q = banded(x_lo)
@@ -173,18 +207,17 @@ def plan_windows(
     intersects = (
         (x_lo_q < W) & (x_lo_q + x_need_p > 0) & (y_lo_q < H) & (y_lo_q + y_need_p > 0)
     )
-    fits = (x_need_p <= XSPAN - 128 - 1) & (y_need_p <= YSPAN)
+    fits = (x_need_p <= xspan - 128 - 1) & (y_need_p <= yspan)
     # patch must also cover the farthest taps of its whole tile
-    x_hi_b = banded(x_hi)
-    y_hi_b = banded(y_hi)
+    x_hi_b = banded(x_hi, mode="edge")
+    y_hi_b = banded(y_hi, mode="edge")
     covers = (
-        (jnp.minimum(x_hi_b + 1, W - 1) < patch_x0[None, :, None, :] + PC)
-        & (jnp.minimum(y_hi_b + 1, H - 1) < patch_y0[None, :, None, :] + PR)
+        (jnp.minimum(x_hi_b + 1, W - 1) < patch_x0[None, :, None, :] + pc)
+        & (jnp.minimum(y_hi_b + 1, H - 1) < patch_y0[None, :, None, :] + pr)
         & (jnp.maximum(x_lo_b, 0) >= patch_x0[None, :, None, :])
         & (jnp.maximum(y_lo_b, 0) >= patch_y0[None, :, None, :])
     )
     valid = jnp.all(jnp.where(intersects, fits & covers, True))
-    # windows clamped into the patch must still cover their spans
     return WindowPlan(patch_y0, patch_x0, woff_y, woff_x, valid)
 
 
@@ -197,18 +230,22 @@ def _warp_kernel(
     patch_x0_ref,    # [nYB*nXB] i32
     # array inputs
     src_t_ref,       # [H, C, W] in ANY/HBM
-    woff_y_ref,      # [1, 1, TILE_H, nXB] block (whole trailing dims)
-    woff_x_ref,      # [1, 1, TILE_H, nXB] block
+    woff_y_ref,      # [1, 1, TILE_H, nXB] SMEM block
+    woff_x_ref,      # [1, 1, TILE_H, nXB] SMEM block
     # outputs
     out_ref,         # [1, TILE_H, TILE_W, C] block
     # scratch
-    patch_ref,       # [PR, C, PC] VMEM
+    patch_ref,       # [pr, C, pc] VMEM
     sem,             # DMA semaphore
     *,
     H: int,
     W: int,
     C: int,
     nXB: int,
+    yspan: int,
+    xspan: int,
+    pr: int,
+    pc: int,
 ):
     # d innermost: each (yb, xb) tile stages its patch once (at d == 0) and
     # sweeps all depth planes against it before moving on
@@ -222,11 +259,10 @@ def _warp_kernel(
     # slice on the lane dim is provably tiled
     px0 = pl.multiple_of(patch_x0_ref[tile], 128)
 
-    # stage the tile's patch once (d == 0): src_t[py0:py0+PR, :, px0:px0+PC]
     @pl.when(d == 0)
     def _():
         cp = pltpu.make_async_copy(
-            src_t_ref.at[pl.ds(py0, PR), :, pl.ds(px0, PC)],
+            src_t_ref.at[pl.ds(py0, pr), :, pl.ds(px0, pc)],
             patch_ref,
             sem,
         )
@@ -263,11 +299,11 @@ def _warp_kernel(
         y0_r = y0[r : r + 1]
         woy = woff_y_ref[0, 0, r, xb]  # i32 scalar (SMEM)
         # lane-dim dynamic slices must be 128-aligned: align the window
-        # start down; XSPAN covers the alignment slack
+        # start down; xspan covers the alignment slack
         wox = pl.multiple_of((woff_x_ref[0, 0, r, xb] // 128) * 128, 128)
 
         # local window coords
-        xl = x0_r - (px0 + wox)       # [1, TILE_W] in [0, XSPAN-2] when valid
+        xl = x0_r - (px0 + wox)
         yl = y0_r - (py0 + woy)
 
         # original-image in-bounds masks per tap (zeros padding)
@@ -283,17 +319,16 @@ def _warp_kernel(
 
         for cg in range(n_cg):
             acc = jnp.zeros((8, TILE_W), jnp.float32)
-            # window rows: yl in [0, YSPAN-1] covers tap y0; tap y1 = yl+1
-            for ry in range(YSPAN + 1):
-                row_sel0 = (yl == ry).astype(jnp.float32)        # y0 tap on row ry
-                row_sel1 = (yl + 1 == ry).astype(jnp.float32)    # y1 tap on row ry
-                # window row [8c, XSPAN]
-                win = patch_ref[woy + ry, pl.ds(cg * 8, 8), pl.ds(wox, XSPAN)]
-                # per-lane x gather from the XSPAN cols (2 lane-halves)
-                def xg(idx):  # idx [1, TILE_W] in [-1, XSPAN]
+            # window rows: yl in [0, yspan-1] covers tap y0; tap y1 = yl+1
+            for ry in range(yspan + 1):
+                row_sel0 = (yl == ry).astype(jnp.float32)
+                row_sel1 = (yl + 1 == ry).astype(jnp.float32)
+                win = patch_ref[woy + ry, pl.ds(cg * 8, 8), pl.ds(wox, xspan)]
+
+                def xg(idx):  # per-lane gather over the xspan cols
                     idx_b = jnp.broadcast_to(idx, (8, TILE_W))
                     val = jnp.zeros((8, TILE_W), jnp.float32)
-                    for h in range(XSPAN // 128):
+                    for h in range(xspan // 128):
                         part = win[:, h * 128 : (h + 1) * 128].astype(jnp.float32)
                         loc = jnp.clip(idx_b - h * 128, 0, 127)
                         g = jnp.take_along_axis(part, loc, axis=1)
@@ -303,7 +338,6 @@ def _warp_kernel(
 
                 v0 = xg(xl)        # tap x0
                 v1 = xg(xl + 1)    # tap x1
-                # bilinear accumulate with masks
                 c00 = (1.0 - wx_r) * m00 * row_sel0
                 c01 = wx_r * m01 * row_sel0
                 c10 = (1.0 - wx_r) * m10 * row_sel1
@@ -315,7 +349,8 @@ def _warp_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "interpret")
+    jax.jit,
+    static_argnames=("height", "width", "interpret", "yspan", "xspan", "pr", "pc"),
 )
 def warp_src_feature_pallas(
     src_fea: jnp.ndarray,      # [H, W, C]
@@ -325,30 +360,39 @@ def warp_src_feature_pallas(
     height: int | None = None,
     width: int | None = None,
     interpret: bool = False,
+    yspan: int = YSPAN,
+    xspan: int = XSPAN,
+    pr: int = PR,
+    pc: int = PC,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Single-view plane-sweep warp -> ([D, H, W, C] warped volume, valid).
 
     ``valid`` is a scalar bool; when False the result is undefined and the
-    caller must use the XLA path (ops.sampling.warp_src_feature).
+    caller must use the XLA path (ops.sampling.warp_src_feature). Envelope
+    kwargs come from suggest_envelope (static; one compile per envelope).
     """
     H, W, C = src_fea.shape
     D = depth_values.shape[0]
     nYB = -(-H // TILE_H)
     nXB = -(-W // TILE_W)
 
-    plan = plan_windows(src_proj, ref_proj, depth_values, H, W)
+    plan = plan_windows(
+        src_proj, ref_proj, depth_values, H, W,
+        yspan=yspan, xspan=xspan, pr=pr, pc=pc,
+    )
     rot, trans = _coord_terms(src_proj, ref_proj)
 
     src_t = jnp.transpose(src_fea, (0, 2, 1))  # [H, C, W]
-    # pad so patch DMA slices stay in range for small images
-    pad_rows = max(PR - H, 0)
-    pad_cols = max(PC - W, 0)
+    pad_rows = max(pr - H, 0)
+    pad_cols = max(pc - W, 0)
     if pad_rows or pad_cols:
         src_t = jnp.pad(src_t, ((0, pad_rows), (0, 0), (0, pad_cols)))
 
     grid = (nYB, nXB, D)
-
-    kernel = functools.partial(_warp_kernel, H=H, W=W, C=C, nXB=nXB)
+    kernel = functools.partial(
+        _warp_kernel, H=H, W=W, C=C, nXB=nXB,
+        yspan=yspan, xspan=xspan, pr=pr, pc=pc,
+    )
 
     out = pl.pallas_call(
         kernel,
@@ -374,11 +418,13 @@ def warp_src_feature_pallas(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((PR, C, PC), jnp.float32),
+                pltpu.VMEM((pr, C, pc), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((D, nYB * TILE_H, nXB * TILE_W, C), src_fea.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (D, nYB * TILE_H, nXB * TILE_W, C), src_fea.dtype
+        ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
