@@ -51,6 +51,8 @@ class MVSNet(nn.Module):
         cost volume ([B, D, H, W, C]) with with_sharding_constraint —
         typically P('data', 'sweep') so depth hypotheses shard across chips
         and GSPMD inserts the U-Net's halo exchanges (parallel/sharding.py).
+      remat: rematerialize the plane sweep in the backward pass (training
+        memory saver; required for the full 512x640/D192 recipe on 16 GB).
     """
 
     refine: bool = False
@@ -59,10 +61,15 @@ class MVSNet(nn.Module):
     dtype: Any = None
     align_corners: bool = False
     volume_sharding: Any = None
+    remat: bool = False
 
     def setup(self):
         self.feature = FeatureNet(dtype=self.dtype)
-        self.cost_regularization = CostRegNet(dtype=self.dtype)
+        # static_argnums=(2,): (self, x, train) — train flips the BN branch
+        cost_reg_cls = (
+            nn.remat(CostRegNet, static_argnums=(2,)) if self.remat else CostRegNet
+        )
+        self.cost_regularization = cost_reg_cls(dtype=self.dtype)
         if self.refine:
             self.refine_network = RefineNet(dtype=self.dtype)
 
@@ -88,12 +95,17 @@ class MVSNet(nn.Module):
         # halves the dominant HBM traffic); the sum/sum^2 accumulators and
         # the variance subtraction stay f32 inside cost_volume_variance.
         sweep_dtype = self.dtype or jnp.float32
-        volume = cost_volume_variance(
+        sweep = lambda f, p, d: cost_volume_variance(
+            f, p, d, depth_chunk=self.depth_chunk, align_corners=self.align_corners
+        )
+        if self.remat:
+            # recompute the sweep in the backward pass instead of storing
+            # the warped footprints (saves several GB at training shapes)
+            sweep = jax.checkpoint(sweep)
+        volume = sweep(
             feats.astype(sweep_dtype),
             proj_matrices.astype(jnp.float32),
             depth_values.astype(jnp.float32),
-            depth_chunk=self.depth_chunk,
-            align_corners=self.align_corners,
         )
         if self.dtype is not None:
             volume = volume.astype(self.dtype)
@@ -101,7 +113,9 @@ class MVSNet(nn.Module):
             volume = jax.lax.with_sharding_constraint(volume, self.volume_sharding)
 
         # Step 3: 3D U-Net regularization -> [B, D, h, w].
-        cost_reg = self.cost_regularization(volume, train=train)[..., 0]
+        # train passed positionally: nn.remat static_argnums only covers
+        # positional args
+        cost_reg = self.cost_regularization(volume, train)[..., 0]
 
         # Step 4: softmax regression + confidence (f32 for a stable softmax).
         # The fused Pallas kernel is inference-only (no VJP registered);

@@ -25,4 +25,6 @@ python train.py \
     --NtestViews=5 \
     --logdir="$LOGDIR" \
     --dtype=bfloat16 \
+    --depth_chunk=48 \
+    --remat \
     "$@" 2>&1 | tee "$LOGDIR/train.log"

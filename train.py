@@ -57,6 +57,9 @@ parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"
                     help="conv compute dtype (bfloat16 = TPU fast path)")
 parser.add_argument("--depth_chunk", type=int, default=None,
                     help="plane-sweep depth chunk size (bounds peak HBM)")
+parser.add_argument("--remat", action="store_true",
+                    help="rematerialize the plane sweep in backward "
+                         "(needed for the full 512x640/D192 recipe on 16GB)")
 parser.add_argument("--debug_MVSnet", type=int, default=0,
                     help="debug bitmask kept for CLI parity (visualization "
                          "windows are not supported in headless TPU runs)")
@@ -93,6 +96,7 @@ def main() -> None:
         refine=args.refine,
         depth_chunk=args.depth_chunk,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
+        remat=args.remat,
     )
 
     trainer = Trainer(
