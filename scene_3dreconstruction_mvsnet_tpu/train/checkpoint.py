@@ -75,11 +75,29 @@ def restore_checkpoint(path: str, state) -> tuple[Any, int]:
     return new_state, int(restored["epoch"]) + 1
 
 
-def restore_variables(path: str, variables_template: dict | None = None) -> dict:
-    """Restore only {'params','batch_stats'} (for eval --loadckpt).
+def _abstract_template(path: str):
+    """Build a device-agnostic ShapeDtypeStruct tree from checkpoint
+    metadata. Restoring against it ignores the shardings recorded at save
+    time, so a checkpoint written on CPU loads in a TPU process (and vice
+    versa) — plain restore fails with 'Device TFRT_CPU_0 was not found'."""
+    import jax
 
-    Restores without a template (orbax returns the stored arrays as saved),
-    so the caller does not need matching opt_state structure."""
     ckptr = ocp.StandardCheckpointer()
-    payload = ckptr.restore(os.path.abspath(path))
+    meta = ckptr.metadata(os.path.abspath(path))
+    tree = meta.item_metadata if hasattr(meta, "item_metadata") else meta
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def to_sds(leaf):
+        if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+            return jax.ShapeDtypeStruct(tuple(leaf.shape), leaf.dtype, sharding=sharding)
+        return leaf
+
+    return jax.tree.map(to_sds, tree)
+
+
+def restore_variables(path: str, variables_template: dict | None = None) -> dict:
+    """Restore only {'params','batch_stats'} (for eval --loadckpt),
+    device-agnostically."""
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(os.path.abspath(path), _abstract_template(path))
     return {"params": payload["params"], "batch_stats": payload["batch_stats"]}
