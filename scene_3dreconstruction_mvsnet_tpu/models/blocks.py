@@ -28,6 +28,71 @@ from flax import linen as nn
 from jax import lax
 
 
+def _conv2d_folded(x: jnp.ndarray, k2d: jnp.ndarray, stride: int,
+                   pad: int, lhs_dilation: int = 1) -> jnp.ndarray:
+    """2D conv over [B, D, H, W, I] with (B, D) folded into the batch."""
+    B, D, H, W, I = x.shape
+    y = lax.conv_general_dilated(
+        x.reshape(B * D, H, W, I),
+        k2d,
+        window_strides=(stride, stride),
+        padding=[(pad, pad)] * 2 if lhs_dilation == 1 else [(1, 2), (1, 2)],
+        lhs_dilation=(lhs_dilation, lhs_dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y.reshape(B, D, y.shape[1], y.shape[2], y.shape[3])
+
+
+def _shift_d(y: jnp.ndarray, direction: int) -> jnp.ndarray:
+    """Shift along the D axis with zero fill: +1 means y'[d] = y[d-1]."""
+    zero = jnp.zeros_like(y[:, :1])
+    if direction > 0:
+        return jnp.concatenate([zero, y[:, :-1]], axis=1)
+    return jnp.concatenate([y[:, 1:], zero], axis=1)
+
+
+def conv3d_k3_decomposed(x: jnp.ndarray, kernel: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """3x3x3 conv (padding 1) as three shifted 2D convs over the folded
+    depth axis — TPU's 2D convolution path is ~4x faster than its NDHWC
+    conv3d lowering at MVS cost-volume shapes.
+
+    x: [B, D, H, W, I]; kernel: [3, 3, 3, I, O] (DHWIO); stride applies to
+    all three spatial dims (1 or 2; D must be even for stride 2).
+    Exactly y[d] = sum_kd k[kd] (*) x[s*d + kd - 1].
+    """
+    k0, k1, k2 = kernel[0], kernel[1], kernel[2]
+    if stride == 1:
+        t0 = _conv2d_folded(x, k0, 1, 1)
+        t1 = _conv2d_folded(x, k1, 1, 1)
+        t2 = _conv2d_folded(x, k2, 1, 1)
+        return t1 + _shift_d(t0, +1) + _shift_d(t2, -1)
+    x_even = x[:, 0::2]
+    x_odd = x[:, 1::2]
+    a = _conv2d_folded(x_even, k1, stride, 1)          # k1 (*) x[2d]
+    b = _conv2d_folded(x_odd, k0, stride, 1)           # k0 (*) x[2d+1]
+    c = _conv2d_folded(x_odd, k2, stride, 1)           # k2 (*) x[2d+1]
+    return a + _shift_d(b, +1) + c
+
+
+def conv3d_transpose_k3s2_decomposed(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose3d(k=3, s=2, p=1, op=1) as interleaved 2D transpose
+    convs. ``kernel`` is the correlation DHWIO kernel stored by
+    ConvTransposeBnReLU3D: with xd = pad(dilate2(x), (1,2)),
+    y[j] = sum_t kernel[t] (*) xd[j+t], so
+      y[2i]   = K1 (*) x[i]
+      y[2i+1] = K0 (*) x[i] + K2 (*) x[i+1].
+    Each K[t] application is the (H, W) transpose conv (lhs_dilation 2,
+    padding (1,2)). Output: [B, 2D, 2H, 2W, O].
+    """
+    k0, k1, k2 = kernel[0], kernel[1], kernel[2]
+    y_even = _conv2d_folded(x, k1, 1, 0, lhs_dilation=2)
+    y_odd = _conv2d_folded(x, k0, 1, 0, lhs_dilation=2) + _shift_d(
+        _conv2d_folded(x, k2, 1, 0, lhs_dilation=2), -1
+    )
+    B, D, H2, W2, O = y_even.shape
+    return jnp.stack([y_even, y_odd], axis=2).reshape(B, 2 * D, H2, W2, O)
+
+
 class ConvBnReLU(nn.Module):
     """2D conv (no bias) + BatchNorm + optional ReLU."""
 
@@ -60,6 +125,37 @@ class ConvBnReLU(nn.Module):
         return nn.relu(x) if self.relu else x
 
 
+class DecomposedConv3d(nn.Module):
+    """3x3x3 conv (padding 1, optional bias) computed as shifted 2D convs
+    (see conv3d_k3_decomposed). Parameter layout matches nn.Conv
+    ('kernel' [3,3,3,I,O], optional 'bias'), so checkpoints/importers are
+    unchanged."""
+
+    features: int
+    stride: int = 1
+    use_bias: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        y = conv3d_k3_decomposed(
+            x.astype(dtype), kernel.astype(dtype), self.stride
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(dtype)
+        return y
+
+
 class ConvBnReLU3D(nn.Module):
     """3D conv (no bias) + BatchNorm + optional ReLU. Input [B, D, H, W, C]."""
 
@@ -73,15 +169,21 @@ class ConvBnReLU3D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         k, s, p = self.kernel_size, self.stride, self.pad
-        x = nn.Conv(
-            self.features,
-            (k, k, k),
-            strides=(s, s, s),
-            padding=[(p, p)] * 3,
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if k == 3 and p == 1:
+            # TPU fast path: 2D-decomposed 3D conv (~4x over NDHWC conv3d)
+            x = DecomposedConv3d(
+                self.features, stride=s, dtype=self.dtype, name="conv"
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (k, k, k),
+                strides=(s, s, s),
+                padding=[(p, p)] * 3,
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -119,13 +221,8 @@ class ConvTransposeBnReLU3D(nn.Module):
             jnp.float32,
         )
         dtype = self.dtype or x.dtype
-        y = lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(1, 1, 1),
-            padding=[(1, 2), (1, 2), (1, 2)],
-            lhs_dilation=(2, 2, 2),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        y = conv3d_transpose_k3s2_decomposed(
+            x.astype(dtype), kernel.astype(dtype)
         )
         y = nn.BatchNorm(
             use_running_average=not train,

@@ -14,7 +14,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import ConvBnReLU3D, ConvTransposeBnReLU3D
+from .blocks import ConvBnReLU3D, ConvTransposeBnReLU3D, DecomposedConv3d
 
 
 class CostRegNet(nn.Module):
@@ -33,8 +33,5 @@ class CostRegNet(nn.Module):
         x = conv4 + ConvTransposeBnReLU3D(32, dtype=d, name="conv7")(x, train)
         x = conv2 + ConvTransposeBnReLU3D(16, dtype=d, name="conv9")(x, train)
         x = conv0 + ConvTransposeBnReLU3D(8, dtype=d, name="conv11")(x, train)
-        x = nn.Conv(
-            1, (3, 3, 3), strides=(1, 1, 1), padding=[(1, 1)] * 3,
-            use_bias=True, dtype=d, name="prob",
-        )(x)
+        x = DecomposedConv3d(1, stride=1, use_bias=True, dtype=d, name="prob")(x)
         return x
