@@ -12,7 +12,6 @@ eval:            {imgs, proj_matrices, depth_values, filename
 
 from __future__ import annotations
 
-import os
 from typing import Any
 
 import numpy as np

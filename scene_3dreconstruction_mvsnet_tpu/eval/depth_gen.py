@@ -18,7 +18,6 @@ import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

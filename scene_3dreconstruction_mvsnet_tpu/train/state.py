@@ -8,14 +8,12 @@ train_sample/test_sample (/root/reference/train.py:241-358).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from ..models.mvsnet import mvsnet_loss
 from .metrics import depth_metrics
