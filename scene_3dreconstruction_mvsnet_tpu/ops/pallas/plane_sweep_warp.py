@@ -140,7 +140,7 @@ def suggest_envelope(
         x_need_max = max(x_need_max, int(xn.max()))
         y_need_max = max(y_need_max, int(yn.max()))
 
-    yspan = max(2, int(2 ** np.ceil(np.log2(max(y_need_max, 1)))))
+    yspan = max(2, y_need_max - 1)
     xspan = 128 * (-(-(x_need_max + 1 + 128) // 128))  # +alignment slack
     pr = max(yspan + 8, 2 * yspan)
     pr = -(-pr // 8) * 8
@@ -195,7 +195,10 @@ def plan_windows(
     # per-(d, row) window offsets relative to the tile's patch
     y_lo_b = banded(y_lo, mode="edge")
     x_lo_b = banded(x_lo, mode="edge")
-    woff_y = jnp.clip(y_lo_b - patch_y0[None, :, None, :] - 1, 0, pr - yspan)
+    # margin-free: the kernel computes the same f32 coordinates as this
+    # plan, and projective coords are monotonic along rows, so floor(min at
+    # corners) == min(floor) — no guard row needed
+    woff_y = jnp.clip(y_lo_b - patch_y0[None, :, None, :], 0, pr - yspan)
     woff_x = jnp.clip(x_lo_b - patch_x0[None, :, None, :] - 1, 0, pc - xspan)
 
     # validity: every (d, row, xb) window fits the envelope. Fully
@@ -207,7 +210,7 @@ def plan_windows(
     intersects = (
         (x_lo_q < W) & (x_lo_q + x_need_p > 0) & (y_lo_q < H) & (y_lo_q + y_need_p > 0)
     )
-    fits = (x_need_p <= xspan - 128 - 1) & (y_need_p <= yspan)
+    fits = (x_need_p <= xspan - 128 - 1) & (y_need_p <= yspan + 1)
     # patch must also cover the farthest taps of its whole tile
     x_hi_b = banded(x_hi, mode="edge")
     y_hi_b = banded(y_hi, mode="edge")
@@ -319,8 +322,8 @@ def _warp_kernel(
 
         for cg in range(n_cg):
             acc = jnp.zeros((8, TILE_W), jnp.float32)
-            # window rows: yl in [0, yspan-1] covers tap y0; tap y1 = yl+1
-            for ry in range(yspan + 1):
+            # window rows: margin-free, taps y0/y1 lie in rows 0..yspan-1
+            for ry in range(yspan):
                 row_sel0 = (yl == ry).astype(jnp.float32)
                 row_sel1 = (yl + 1 == ry).astype(jnp.float32)
                 win = patch_ref[woy + ry, pl.ds(cg * 8, 8), pl.ds(wox, xspan)]
