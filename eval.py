@@ -68,9 +68,16 @@ parser.add_argument("--xy_scale", type=float, default=1.0531,
                          "(reference eval.py:264)")
 
 parser.add_argument("--debug_MVSnet", type=int, default=0,
-                    help="kept for CLI parity; headless runs ignore it")
-parser.add_argument("--debug_depth_gen", type=int, default=0)
-parser.add_argument("--debug_depth_filter", type=int, default=0)
+                    help="bitmask: dump forward stages as PNGs (headless "
+                         "equivalent of the reference's cv2 windows)")
+parser.add_argument("--debug_depth_gen", type=int, default=0,
+                    help="bitmask (/root/reference/eval.py:61-67): 0 input "
+                         "image, 1 depth/confidence PNGs, 2 per-view cloud "
+                         "PLY, 3 combined cloud PLY — headless dumps")
+parser.add_argument("--debug_depth_filter", type=int, default=0,
+                    help="bitmask (/root/reference/eval.py:69-74): 0 depth+"
+                         "mask PNGs, 1 per-view cloud PLY, 2 fused cloud "
+                         "PLY — headless dumps")
 
 # registry overrides (the reference hardcodes these per dataset name)
 parser.add_argument("--img_res", type=int, nargs=2, default=None,
@@ -178,6 +185,7 @@ def main() -> None:
             img_res=img_res,
             num_workers=args.num_workers,
             debug_bitmask=args.debug_MVSnet,
+            debug_depth_gen=args.debug_depth_gen,
         )
 
     if args.skip_filter:
@@ -207,6 +215,7 @@ def main() -> None:
             save_ply=args.save_ply,
             xy_scale=args.xy_scale,
             postprocess=args.postprocess,
+            debug_depth_filter=args.debug_depth_filter,
         )
 
 

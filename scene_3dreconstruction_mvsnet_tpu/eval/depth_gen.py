@@ -49,6 +49,31 @@ def _write_view(outdir_acq, filename_tpl, ref_img, depth, confidence, K, E):
     write_cam(cam_path, K=K, R=E, depth_params=["000", "2.5", "", ""])
 
 
+def _dump_depth_gen_debug(debug_dir, batch_idx, bits, ref_img, depth, confidence):
+    """Headless equivalents of the reference's --debug_depth_gen bits 0/1
+    (/root/reference/eval.py:333, :413-427): PNG dumps instead of
+    cv2.imshow windows."""
+    os.makedirs(debug_dir, exist_ok=True)
+    if "0" in bits:
+        save_image_u8(
+            os.path.join(debug_dir, f"input_view{batch_idx:0>4}.png"),
+            np.clip(np.asarray(ref_img), 0, 1),
+        )
+    if "1" in bits:
+        save_image_u8(
+            os.path.join(debug_dir, f"depth_est_view{batch_idx:0>4}.png"),
+            _normalize01(depth),
+        )
+        save_image_u8(
+            os.path.join(debug_dir, f"confidence_view{batch_idx:0>4}.png"),
+            np.clip(confidence, 0, 1),
+        )
+        save_image_u8(
+            os.path.join(debug_dir, f"confidence_gt50_view{batch_idx:0>4}.png"),
+            np.clip(confidence * (confidence > 0.5), 0, 1),
+        )
+
+
 def save_depth(
     model,
     variables,
@@ -67,8 +92,17 @@ def save_depth(
     img_res: tuple[int, int] = (512, 640),
     num_workers: int = 4,
     debug_bitmask: int = 0,
+    debug_depth_gen: int = 0,
 ) -> dict:
-    """Run depth generation for every reference view. Returns timing stats."""
+    """Run depth generation for every reference view. Returns timing stats.
+
+    ``debug_depth_gen`` mirrors the reference's bitmask
+    (/root/reference/eval.py:61-67) with headless dumps under
+    ``<outdir>/<acq>/debug_depth_gen/``: bit 0 input ref image, bit 1 depth
+    prediction + confidence (+ conf>50%) PNGs, bit 2 per-view point-cloud
+    PLY, bit 3 combined all-views point-cloud PLY (+ a cropped/outlier-
+    removed/voxel-downsampled variant, /root/reference/eval.py:472-497).
+    """
     print(f"============ Generating DEPTH MAPS using {NviewGen} views")
     MVSDataset = find_dataset_def(dataset)
     test_dataset = MVSDataset(
@@ -89,6 +123,17 @@ def save_depth(
 
     acquisition_folder = testpath.rstrip("/").split("/")[-1]
     outdir_acq = os.path.join(outdir, acquisition_folder)
+
+    from ..utils.misc import get_powers
+
+    gen_bits = set(get_powers(debug_depth_gen))
+    debug_dir = os.path.join(outdir_acq, "debug_depth_gen")
+    # per-view global cloud accumulation (/root/reference/eval.py:432-440);
+    # the reference only consumes it for visualization, so we accumulate
+    # only when a cloud bit is on to keep stage A memory-flat otherwise
+    accumulate_cloud = bool({"2", "3"} & gen_bits)
+    vertices: list[np.ndarray] = []
+    vertex_colors: list[np.ndarray] = []
 
     gen_times: list[float] = []
     writer = ThreadPoolExecutor(max_workers=2)
@@ -116,6 +161,22 @@ def save_depth(
             f"(fwd pass in {gen_times[-1]:.3f}s)"
         )
 
+        # depth/confidence range summary (/root/reference/eval.py:399-407)
+        print(
+            "depth Min/Max: {:.1f}/{:.1f} - conf. Min/Max: {:.1f}%/{:.1f}%".format(
+                np.min(depth), np.max(depth),
+                np.min(confidence) * 100, np.max(confidence) * 100,
+            )
+        )
+        print(
+            "confidence percentiles: 25%:{:.1f}% 50%:{:.1f}% 75%:{:.1f}% 90%:{:.1f}%".format(
+                np.percentile(confidence, 25) * 100,
+                np.percentile(confidence, 50) * 100,
+                np.percentile(confidence, 75) * 100,
+                np.percentile(confidence, 90) * 100,
+            )
+        )
+
         filename_tpl = sample["filename"][0]
         ref_img = sample["imgs"][0, 0]
         K = sample["intrinsics"][0][0] if "intrinsics" in sample else None
@@ -130,9 +191,61 @@ def save_depth(
                 _write_view, outdir_acq, filename_tpl, ref_img, depth, confidence, K, E
             )
         )
+
+        if gen_bits:
+            _dump_depth_gen_debug(
+                debug_dir, batch_idx, gen_bits, ref_img, depth, confidence
+            )
+        if accumulate_cloud:
+            from ..geometry.transforms import depth_to_world_points
+            from ..io.images import resize_img
+            from ..io.ply import write_ply
+
+            world = np.asarray(
+                depth_to_world_points(
+                    jnp.asarray(depth.astype(np.float32)),
+                    jnp.asarray(np.asarray(K, np.float32)),
+                    jnp.asarray(np.asarray(E, np.float32)),
+                    xy_scale=1.0,
+                )
+            )
+            h, w = depth.shape
+            colors = resize_img(np.asarray(ref_img), (h, w)).reshape(-1, 3)
+            vertices.append(world)
+            vertex_colors.append((np.clip(colors, 0, 1) * 255).astype(np.uint8))
+            if "2" in gen_bits:
+                os.makedirs(debug_dir, exist_ok=True)
+                from ..io.ply import write_ply as _wp
+
+                _wp(
+                    os.path.join(debug_dir, f"cloud_view{batch_idx:0>4}.ply"),
+                    world, vertex_colors[-1],
+                )
     for f in pending:
         f.result()
     writer.shutdown()
+
+    if accumulate_cloud and vertices:
+        # combined all-views cloud (/root/reference/eval.py:470-497)
+        from ..io.ply import write_ply
+
+        all_pts = np.concatenate(vertices, axis=0)
+        all_cols = np.concatenate(vertex_colors, axis=0)
+        print("Combining ALL 3D Pts-clouds.\n")
+        if "3" in gen_bits:
+            os.makedirs(debug_dir, exist_ok=True)
+            write_ply(os.path.join(debug_dir, "cloud_allviews.ply"), all_pts, all_cols)
+            from .scene_kit import get_frame_bbox, postprocess_cloud
+
+            _, outer = get_frame_bbox(context=acquisition_folder)
+            pts, cols = postprocess_cloud(
+                all_pts, all_cols,
+                crop_bbox=None if dataset_name == "dtu" else outer,
+                voxel_size=5.0,
+            )
+            write_ply(
+                os.path.join(debug_dir, "cloud_allviews_post.ply"), pts, cols
+            )
 
     avg = float(np.mean(gen_times)) if gen_times else 0.0
     steady = float(np.mean(gen_times[1:])) if len(gen_times) > 1 else avg

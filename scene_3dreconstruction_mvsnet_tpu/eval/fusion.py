@@ -42,11 +42,22 @@ def filter_depth(
     xy_scale: float = 1.0531,
     postprocess: bool = False,
     voxel_size: float = 5.0,
+    debug_depth_filter: int = 0,
 ) -> dict:
     """Filter + fuse one scan. Returns stats incl. per-view timing and mask
     coverage. File layout matches the reference so outputs are drop-in
-    comparable."""
+    comparable.
+
+    ``debug_depth_filter`` mirrors the reference bitmask
+    (/root/reference/eval.py:69-74) with headless dumps under
+    ``<out_folder>/debug_depth_filter/``: bit 0 per-view depth + mask PNGs
+    (:723-760), bit 1 per-view filtered cloud PLY (:762-780), bit 2 fused
+    all-views cloud PLY (:805-830)."""
     print(f"============ DEPTH MAPS FILTER / FUSION using {NviewFilter} views")
+    from ..utils.misc import get_powers
+
+    filter_bits = set(get_powers(debug_depth_filter))
+    debug_dir = os.path.join(out_folder, "debug_depth_filter")
 
     if dataset_name == "bin":
         pair_file = os.path.join(dataset_folder, "../..", pairfile)
@@ -141,6 +152,40 @@ def filter_depth(
         colors = ref_img[1::4, 1::4, :][final_mask]
         vertex_colors.append((colors * 255).astype(np.uint8))
 
+        if filter_bits:
+            os.makedirs(debug_dir, exist_ok=True)
+            from ..io.images import save_image_u8
+
+            if "0" in filter_bits:
+                # per-view depth/mask panels (/root/reference/eval.py:723-760)
+                rng_lo, rng_hi = float(ref_depth.min()), float(ref_depth.max())
+                span = max(rng_hi - rng_lo, 1e-6)
+
+                def norm(x):
+                    return np.clip((x - rng_lo) / span, 0, 1)
+
+                save_image_u8(
+                    os.path.join(debug_dir, f"{ref_view:0>8}_ref_depth.png"),
+                    norm(ref_depth),
+                )
+                save_image_u8(
+                    os.path.join(debug_dir, f"{ref_view:0>8}_depth_photo.png"),
+                    norm(ref_depth * photo_mask),
+                )
+                save_image_u8(
+                    os.path.join(debug_dir, f"{ref_view:0>8}_depth_geo.png"),
+                    norm(ref_depth * geo_mask),
+                )
+                save_image_u8(
+                    os.path.join(debug_dir, f"{ref_view:0>8}_depth_final.png"),
+                    norm(result["depth_est_averaged"] * final_mask),
+                )
+            if "1" in filter_bits:
+                write_ply(
+                    os.path.join(debug_dir, f"{ref_view:0>8}_cloud.ply"),
+                    vertices[-1], vertex_colors[-1],
+                )
+
     vertices_all = (
         np.concatenate(vertices, axis=0) if vertices else np.zeros((0, 3), np.float32)
     )
@@ -152,6 +197,11 @@ def filter_depth(
     if save_ply:
         write_ply(plyfilename, vertices_all, colors_all)
         print("saving the final model to", plyfilename)
+    if "2" in filter_bits and vertices_all.shape[0]:
+        os.makedirs(debug_dir, exist_ok=True)
+        write_ply(
+            os.path.join(debug_dir, "fused_cloud.ply"), vertices_all, colors_all
+        )
 
     if postprocess and vertices_all.shape[0]:
         # reference post-processing for non-DTU rigs: crop to the outer bin

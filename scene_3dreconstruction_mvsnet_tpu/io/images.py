@@ -36,6 +36,17 @@ def save_mask(filename: str, mask: np.ndarray) -> None:
     Image.fromarray(mask.astype(np.uint8) * 255).save(filename)
 
 
+def resize_img(img01: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    """Bilinear resize of a float [0,1] image to (H, W) — the cv2.resize
+    used for stage-A point-cloud color sampling (/root/reference/eval.py:435)."""
+    h, w = hw
+    u8 = (np.clip(np.asarray(img01), 0.0, 1.0) * 255.0).astype(np.uint8)
+    out = np.asarray(
+        Image.fromarray(u8).resize((w, h), Image.BILINEAR), dtype=np.float32
+    )
+    return out / 255.0
+
+
 def save_image_u8(filename: str, img01: np.ndarray) -> None:
     """Save a float [0,1] image (H,W[,C]) as an 8-bit PNG."""
     arr = np.clip(np.asarray(img01), 0.0, 1.0)

@@ -1,4 +1,9 @@
-from .mesh import make_mesh, auto_mesh_shape
+from .mesh import (
+    make_mesh,
+    auto_mesh_shape,
+    initialize_multihost,
+    make_global_mesh,
+)
 from .sharding import (
     batch_sharding,
     replicate,
@@ -9,6 +14,8 @@ from .sharding import (
 __all__ = [
     "make_mesh",
     "auto_mesh_shape",
+    "initialize_multihost",
+    "make_global_mesh",
     "batch_sharding",
     "replicate",
     "shard_batch",

@@ -137,6 +137,7 @@ def test_fuse_reference_view(fusion_scene):
     assert not out2["final_mask"].any()
 
 
+@pytest.mark.slow
 def test_eval_cli_end_to_end(tmp_path):
     """Full two-stage pipeline through the eval.py CLI on a synthetic eval
     tree with a fresh-init model: checks the on-disk output contract
@@ -184,6 +185,7 @@ def test_eval_cli_end_to_end(tmp_path):
         "--interval_scale", "1.0", "--photomask", "0.0",
         "--geomask", "1", "--condmask_pixel", "6.0", "--condmask_depth", "0.5",
         "--save_ply", "--num_workers", "0",
+        "--debug_depth_gen", "15", "--debug_depth_filter", "7",
         # synthetic tree is 64x96 with plain subfolder names
         "--img_res", "64", "96",
         "--cam_subfolder", "Cameras",
@@ -200,6 +202,17 @@ def test_eval_cli_end_to_end(tmp_path):
         assert os.path.exists(os.path.join(out_scan, f"mask/{v:0>8}_final.png"))
     ply = os.path.join(outdir, "acq", "mvsnet001_l3.ply")
     assert os.path.exists(ply)
+    # headless --debug_depth_gen / --debug_depth_filter dumps
+    # (/root/reference/eval.py:61-74)
+    gen_dbg = os.path.join(outdir, "acq", "debug_depth_gen")
+    assert os.path.exists(os.path.join(gen_dbg, "input_view0000.png"))
+    assert os.path.exists(os.path.join(gen_dbg, "depth_est_view0000.png"))
+    assert os.path.exists(os.path.join(gen_dbg, "cloud_view0000.ply"))
+    assert os.path.exists(os.path.join(gen_dbg, "cloud_allviews.ply"))
+    filt_dbg = os.path.join(out_scan, "debug_depth_filter")
+    assert os.path.exists(os.path.join(filt_dbg, "00000000_ref_depth.png"))
+    assert os.path.exists(os.path.join(filt_dbg, "00000000_cloud.ply"))
+    assert os.path.exists(os.path.join(filt_dbg, "fused_cloud.ply"))
     from scene_3dreconstruction_mvsnet_tpu.io.ply import read_ply
 
     pts, cols = read_ply(ply)

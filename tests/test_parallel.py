@@ -43,6 +43,7 @@ def _tiny_batch(rng, B, V=3, H=32, W=32, D=8):
     }
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs(rng):
     assert jax.device_count() >= 8
     mesh = make_mesh(data=4, sweep=2)
@@ -62,6 +63,7 @@ def test_sharded_train_step_runs(rng):
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(rng):
     """DP+sweep sharded step must produce the same loss and updated params
     as the unsharded step on identical inputs. SGD rather than Adam: Adam's
@@ -95,6 +97,7 @@ def test_sharded_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_graft_entry_single():
     import __graft_entry__ as ge
 
@@ -106,6 +109,7 @@ def test_graft_entry_single():
     assert compiled is not None
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
     import __graft_entry__ as ge
 

@@ -2,12 +2,14 @@
 rematerialization."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from scene_3dreconstruction_mvsnet_tpu.models import MVSNet, mvsnet_loss
 
 
+@pytest.mark.slow
 def test_remat_gradients_match(rng):
     from tests.test_sampling import _random_projection
 

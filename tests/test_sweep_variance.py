@@ -1,0 +1,106 @@
+"""Fused plane-sweep variance kernel tests (interpret mode; real-TPU
+correctness and perf are exercised by scripts/kexp_v2.py — see kernel
+docstring for measured numbers)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from scene_3dreconstruction_mvsnet_tpu.ops.pallas.sweep_variance import (
+    pack_features,
+    plan_sweep,
+    suggest_envelope,
+    sweep_variance_pallas,
+)
+from scene_3dreconstruction_mvsnet_tpu.ops.plane_sweep import cost_volume_variance
+
+
+def _rig(H, W, C, D, V, rot_deg=0.0, seed=0):
+    rng = np.random.RandomState(seed)
+    fea = rng.rand(V, H, W, C).astype(np.float32)
+    K = np.array([[0.7 * W, 0, W / 8], [0, 0.7 * W, H / 8], [0, 0, 1]], np.float32)
+    projs = []
+    for v in range(V):
+        a = np.deg2rad(rot_deg * v)
+        R = np.array(
+            [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]],
+            np.float32,
+        )
+        E = np.eye(4, dtype=np.float32)
+        E[:3, :3] = R
+        E[0, 3] = -2.0 * v
+        E[1, 3] = 0.3 * v
+        P = E.copy()
+        P[:3, :4] = K @ E[:3, :4]
+        projs.append(P)
+    dv = np.linspace(425.0, 905.0, D, dtype=np.float32)
+    return fea, np.stack(projs), dv
+
+
+def test_pack_features_exact_roundtrip(rng):
+    fea = rng.rand(16, 10, 32).astype(np.float32)
+    bf = np.asarray(jnp.asarray(fea).astype(jnp.bfloat16), np.float32)
+    p0, p1 = map(np.asarray, pack_features(jnp.asarray(fea)))
+    # unpack on host: bf16 occupies the top 16 bits of f32
+    u = p0.view(np.uint32)
+    lo = ((u << 16) & 0xFFFFFFFF).astype(np.uint32).view(np.float32)
+    hi = (u & 0xFFFF0000).view(np.float32)
+    np.testing.assert_array_equal(lo, np.transpose(bf[:, 0::2, :16], (0, 2, 1)))
+    np.testing.assert_array_equal(hi, np.transpose(bf[:, 0::2, 16:], (0, 2, 1)))
+    u1 = p1.view(np.uint32)
+    lo1 = ((u1 << 16) & 0xFFFFFFFF).astype(np.uint32).view(np.float32)
+    np.testing.assert_array_equal(lo1, np.transpose(bf[:, 1::2, :16], (0, 2, 1)))
+
+
+@pytest.mark.parametrize("rot_deg,V", [(0.0, 3), (2.0, 3), (0.0, 5)])
+def test_fused_sweep_matches_xla(rot_deg, V):
+    H, W, C, D = 32, 160, 32, 6
+    fea, projs, dv = _rig(H, W, C, D, V, rot_deg=rot_deg)
+    fea_bf = jnp.asarray(fea).astype(jnp.bfloat16)
+    env = suggest_envelope(projs[1:], projs[0], dv, H, W)
+
+    out, valid = sweep_variance_pallas(
+        fea_bf, jnp.asarray(projs), jnp.asarray(dv),
+        interpret=True, out_dtype=jnp.float32, **env,
+    )
+    assert bool(valid)
+
+    ref = cost_volume_variance(
+        fea_bf.astype(jnp.float32)[None], jnp.asarray(projs)[None],
+        jnp.asarray(dv)[None],
+    )[0]
+    scale = float(np.abs(np.asarray(ref)).max())
+    # kernel interpolates/accumulates in f32 from bf16 features; the XLA
+    # oracle interpolates in f32 from the same bf16 features, so the only
+    # differences are association order — tight tolerance
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-3 * scale
+    )
+
+
+def test_fused_sweep_flags_unsupported_geometry():
+    H, W, C, D = 32, 160, 32, 6
+    fea, projs, dv = _rig(H, W, C, D, 3, rot_deg=25.0)
+    plan = plan_sweep(
+        jnp.asarray(projs[1:]), jnp.asarray(projs[0]), jnp.asarray(dv), H, W,
+        yspan=2, pr=16, pcp=256,
+    )
+    assert not bool(plan.valid)
+
+
+def test_cost_volume_variance_pallas_dispatch_fallback():
+    """cost_volume_variance(pallas_env=...) must produce correct values via
+    the lax.cond fallback when the envelope is too small for the rig."""
+    H, W, C, D = 32, 160, 32, 4
+    fea, projs, dv = _rig(H, W, C, D, 3, rot_deg=25.0)
+    fea_bf = jnp.asarray(fea).astype(jnp.bfloat16)
+    out = cost_volume_variance(
+        fea_bf[None], jnp.asarray(projs)[None], jnp.asarray(dv)[None],
+        pallas_env=(2, 16, 256),
+    )
+    ref = cost_volume_variance(
+        fea_bf[None], jnp.asarray(projs)[None], jnp.asarray(dv)[None],
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=1e-5
+    )

@@ -87,6 +87,7 @@ def _batch(ds, idxs):
     }
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(tiny_ds):
     model = MVSNet()
     batch = _batch(tiny_ds, [0, 1])
@@ -118,6 +119,7 @@ def test_eval_step_runs(tiny_ds):
     assert 0 <= float(aux["thres8mm_error"]) <= 1
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, tiny_ds):
     model = MVSNet()
     batch = _batch(tiny_ds, [0])
@@ -151,6 +153,7 @@ def test_checkpoint_roundtrip(tmp_path, tiny_ds):
     )
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(tmp_path, tiny_ds):
     logdir = str(tmp_path / "trainer_log")
     trainer = Trainer(

@@ -63,10 +63,26 @@ parser.add_argument("--remat", action="store_true",
 parser.add_argument("--debug_MVSnet", type=int, default=0,
                     help="debug bitmask kept for CLI parity (visualization "
                          "windows are not supported in headless TPU runs)")
+parser.add_argument("--multihost", action="store_true",
+                    help="initialize the jax.distributed runtime before any "
+                         "backend use (coordinator/process info from the "
+                         "standard JAX env vars or TPU-pod autodetection); "
+                         "each process then trains data-parallel over the "
+                         "global ('data','sweep') mesh")
 
 
 def main() -> None:
     args = parser.parse_args()
+    if args.multihost:
+        from scene_3dreconstruction_mvsnet_tpu.parallel import initialize_multihost
+
+        initialize_multihost()
+        import jax
+
+        print(
+            f"multihost: process {jax.process_index()}/{jax.process_count()}, "
+            f"{len(jax.local_devices())} local / {len(jax.devices())} global devices"
+        )
     if args.resume:
         assert args.mode == "train", "--resume requires --mode train"
         assert args.loadckpt is None, "--resume and --loadckpt are exclusive"
