@@ -32,15 +32,6 @@ def main():
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
 
-    # depth_chunk=48: the warped-footprint buffers of the plane sweep are
-    # streamed in 4 depth chunks; the full-D sweep needs ~34 GB vs 16 GB HBM
-    # at this resolution (see BASELINE.md headline config).
-    model = MVSNet(
-        dtype=jnp.bfloat16 if on_tpu else None,
-        depth_chunk=48 if on_tpu else None,
-        use_pallas_regression=on_tpu,
-    )
-
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.rand(1, V, H, W, 3).astype(np.float32))
     K = np.array([[W * 0.7, 0, W / 8], [0, W * 0.7, H / 8], [0, 0, 1]], np.float32)
@@ -53,6 +44,31 @@ def main():
         projs.append(P)
     proj = jnp.asarray(np.stack(projs)[None])
     dv = jnp.asarray(np.linspace(425, 905, D, dtype=np.float32)[None])
+
+    # Fused Pallas plane-sweep variance kernel: window envelope planned per
+    # rig on the host (one compile per envelope); falls back to the XLA
+    # sweep in-graph if a sample exceeds it (ops/pallas/sweep_variance.py).
+    sweep_env = None
+    if on_tpu:
+        from scene_3dreconstruction_mvsnet_tpu.ops.pallas.sweep_variance import (
+            suggest_envelope,
+        )
+
+        env = suggest_envelope(
+            np.stack(projs)[1:], projs[0], np.asarray(dv[0]), H // 4, W // 4
+        )
+        sweep_env = (env["yspan"], env["pr"], env["pcp"])
+
+    # depth_chunk=48 keeps the XLA fallback sweep's footprint buffers
+    # streamed in 4 depth chunks (the full-D XLA sweep needs ~34 GB vs
+    # 16 GB HBM at this resolution); the fused kernel never materializes
+    # them at all.
+    model = MVSNet(
+        dtype=jnp.bfloat16 if on_tpu else None,
+        depth_chunk=48 if on_tpu else None,
+        use_pallas_regression=on_tpu,
+        pallas_sweep_env=sweep_env,
+    )
 
     variables = model.init(jax.random.PRNGKey(0), imgs, proj, dv)
 

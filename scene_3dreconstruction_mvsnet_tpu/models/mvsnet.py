@@ -43,6 +43,12 @@ class MVSNet(nn.Module):
         bound peak HBM at large eval resolutions (None = all planes at once).
       use_pallas_regression: dispatch the fused Pallas TPU kernel for
         softmax regression + confidence instead of the XLA composite.
+      pallas_sweep_env: (yspan, pr, pcp) static window envelope — dispatch
+        the fused Pallas plane-sweep variance kernel
+        (ops/pallas/sweep_variance.py) on the bf16 eval path, with a
+        traced-validity fallback to the XLA sweep for rigs that exceed the
+        envelope. Get it from ops.pallas.sweep_variance.suggest_envelope.
+        Inference-only (no VJP registered); training takes the XLA sweep.
       dtype: computation dtype for the conv stacks (bf16 = TPU fast path;
         None = f32 for bit-parity eval). Params are always f32.
       align_corners: sampler convention; False matches the reference under
@@ -58,6 +64,7 @@ class MVSNet(nn.Module):
     refine: bool = False
     depth_chunk: Optional[int] = None
     use_pallas_regression: bool = False
+    pallas_sweep_env: Optional[tuple[int, int, int]] = None
     dtype: Any = None
     align_corners: bool = False
     volume_sharding: Any = None
@@ -95,8 +102,16 @@ class MVSNet(nn.Module):
         # halves the dominant HBM traffic); the sum/sum^2 accumulators and
         # the variance subtraction stay f32 inside cost_volume_variance.
         sweep_dtype = self.dtype or jnp.float32
+        # the fused Pallas sweep packs features as bf16 pairs, so it is only
+        # a faithful drop-in on the bf16 fast path, and it has no VJP
+        sweep_env = (
+            self.pallas_sweep_env
+            if (self.pallas_sweep_env is not None and sweep_dtype == jnp.bfloat16 and not train)
+            else None
+        )
         sweep = lambda f, p, d: cost_volume_variance(
-            f, p, d, depth_chunk=self.depth_chunk, align_corners=self.align_corners
+            f, p, d, depth_chunk=self.depth_chunk,
+            align_corners=self.align_corners, pallas_env=sweep_env,
         )
         if self.remat:
             # recompute the sweep in the backward pass instead of storing

@@ -66,6 +66,7 @@ def cost_volume_variance(
     depth_values: jnp.ndarray,
     depth_chunk: int | None = None,
     align_corners: bool = False,
+    pallas_env: tuple[int, int, int] | None = None,
 ) -> jnp.ndarray:
     """Variance cost volume over views.
 
@@ -78,11 +79,46 @@ def cost_volume_variance(
         this size via ``lax.scan`` to bound peak HBM; None sweeps all planes
         at once.
       align_corners: sampler convention, see ops.sampling.
+      pallas_env: (yspan, pr, pcp) static window envelope — dispatch the
+        fused Pallas sweep-variance TPU kernel (ops/pallas/sweep_variance.py)
+        with a traced-validity fallback to the XLA path. Only taken on the
+        reference's sampler convention (align_corners=False), C=32 features,
+        and B==1; get the envelope from
+        ops.pallas.sweep_variance.suggest_envelope.
 
     Returns: [B, D, H, W, C] variance volume.
     """
     B, V, H, W, C = features.shape
     D = depth_values.shape[1]
+
+    if pallas_env is not None and B == 1 and C == 32 and not align_corners:
+        from .pallas.sweep_variance import plan_is_valid, sweep_variance_pallas
+
+        yspan, pr, pcp = pallas_env
+        env = dict(yspan=yspan, pr=pr, pcp=pcp)
+        valid = plan_is_valid(
+            proj_matrices[0, 1:], proj_matrices[0, 0], depth_values[0], H, W, **env
+        )
+
+        def pallas_branch(feats, projs, dv):
+            out, _ = sweep_variance_pallas(
+                feats[0].astype(jnp.bfloat16), projs[0], dv[0],
+                out_dtype=feats.dtype,
+                # Mosaic only lowers on TPU; interpret elsewhere (CPU tests)
+                interpret=jax.default_backend() != "tpu",
+                **env,
+            )
+            return out[None]
+
+        def xla_branch(feats, projs, dv):
+            return cost_volume_variance(
+                feats, projs, dv, depth_chunk=depth_chunk,
+                align_corners=align_corners,
+            )
+
+        return jax.lax.cond(
+            valid, pallas_branch, xla_branch, features, proj_matrices, depth_values
+        )
 
     if depth_chunk is None or depth_chunk >= D:
         return _sweep_variance_chunk(features, proj_matrices, depth_values, align_corners)
