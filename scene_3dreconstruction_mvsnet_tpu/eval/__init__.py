@@ -3,6 +3,7 @@ from .filtering import (
     check_geometric_consistency,
     geometric_filter_stack,
     fuse_reference_view,
+    fuse_scan,
 )
 from .depth_gen import save_depth
 from .fusion import filter_depth
@@ -20,6 +21,7 @@ __all__ = [
     "check_geometric_consistency",
     "geometric_filter_stack",
     "fuse_reference_view",
+    "fuse_scan",
     "save_depth",
     "filter_depth",
     "BBox",

@@ -159,6 +159,95 @@ def geometric_filter_stack(
     )
 
 
+@jax.jit
+def _fuse_scan_device(
+    depths: jnp.ndarray,        # [V, H, W] all saved depth maps of the scan
+    confidences: jnp.ndarray,   # [V, H, W]
+    Ks: jnp.ndarray,            # [V, 3, 3]
+    Es: jnp.ndarray,            # [V, 4, 4]
+    ref_idx: jnp.ndarray,       # [R] i32
+    src_idx: jnp.ndarray,       # [R, N] i32 (pad slots repeat a valid view)
+    src_valid: jnp.ndarray,     # [R, N] bool
+    photomask: jnp.ndarray,     # [] f32
+    geomask: jnp.ndarray,       # [] i32
+    condmask_pixel: jnp.ndarray,   # [] f32
+    condmask_depth: jnp.ndarray,   # [] f32
+):
+    def per_ref(r_i, s_i, s_ok):
+        d_ref = depths[r_i]
+        K_ref, E_ref = Ks[r_i], Es[r_i]
+
+        def per_src(s, ok):
+            mask, d_reproj, _, _ = check_geometric_consistency(
+                d_ref, K_ref, E_ref, depths[s], Ks[s], Es[s],
+                condmask_pixel, condmask_depth,
+            )
+            mask = mask & ok
+            return mask, jnp.where(mask, d_reproj, 0.0)
+
+        masks, d_reprojs = jax.vmap(per_src)(s_i, s_ok)
+        geo_sum = jnp.sum(masks.astype(jnp.int32), axis=0)
+        depth_avg = (jnp.sum(d_reprojs, axis=0) + d_ref) / (geo_sum + 1)
+        photo = confidences[r_i] > photomask
+        geo = geo_sum >= geomask
+        return photo, geo, photo & geo, depth_avg.astype(jnp.float32)
+
+    return jax.vmap(per_ref)(ref_idx, src_idx, src_valid)
+
+
+def fuse_scan(
+    depths: np.ndarray,
+    confidences: np.ndarray,
+    Ks: np.ndarray,
+    Es: np.ndarray,
+    pair_data: list[tuple[int, list[int]]],
+    view_ids: list[int],
+    *,
+    NviewFilter: int = 10,
+    photomask: float = 0.8,
+    geomask: int = 3,
+    condmask_pixel: float = 1.0,
+    condmask_depth: float = 0.01,
+):
+    """Whole-scan filter in ONE device launch (vs the reference's CPU loop
+    over (ref, src) pairs, /root/reference/eval.py:620-706).
+
+    ``depths``/``confidences`` are stacked per view id in ``view_ids``
+    order; ``pair_data`` is the parsed pair file. Ragged source lists are
+    padded to a fixed width (so one compilation serves every scan) and
+    masked out. Returns per-ref-view dicts in pair order."""
+    id_to_row = {v: i for i, v in enumerate(view_ids)}
+    R = len(pair_data)
+    width = max(1, min(NviewFilter, max(len(s) for _, s in pair_data)))
+    ref_idx = np.zeros((R,), np.int32)
+    src_idx = np.zeros((R, width), np.int32)
+    src_valid = np.zeros((R, width), bool)
+    for i, (ref_view, src_views) in enumerate(pair_data):
+        ref_idx[i] = id_to_row[ref_view]
+        srcs = [id_to_row[s] for s in src_views[:NviewFilter]]
+        for j in range(width):
+            src_idx[i, j] = srcs[j] if j < len(srcs) else srcs[0] if srcs else 0
+            src_valid[i, j] = j < len(srcs)
+
+    photo, geo, final, depth_avg = _fuse_scan_device(
+        jnp.asarray(depths), jnp.asarray(confidences),
+        jnp.asarray(Ks), jnp.asarray(Es),
+        jnp.asarray(ref_idx), jnp.asarray(src_idx), jnp.asarray(src_valid),
+        jnp.float32(photomask), jnp.int32(geomask),
+        jnp.float32(condmask_pixel), jnp.float32(condmask_depth),
+    )
+    photo, geo, final, depth_avg = map(np.asarray, (photo, geo, final, depth_avg))
+    return [
+        {
+            "photo_mask": photo[i],
+            "geo_mask": geo[i],
+            "final_mask": final[i],
+            "depth_est_averaged": depth_avg[i],
+        }
+        for i in range(R)
+    ]
+
+
 def fuse_reference_view(
     ref_depth: np.ndarray,
     confidence: np.ndarray,

@@ -21,7 +21,7 @@ from ..io.cams import read_camera_parameters, read_pair_file
 from ..io.images import read_img, save_mask
 from ..io.pfm import read_pfm
 from ..io.ply import write_ply
-from .filtering import fuse_reference_view
+from .filtering import fuse_scan
 
 
 def filter_depth(
@@ -71,17 +71,44 @@ def filter_depth(
     def cam_path(view):
         return os.path.join(outdir_acq, scan, "cams", f"00000{view:0>3}_cam.txt")
 
-    for ref_view, src_views in pair_data:
-        t0 = time.time()
-        src_views = src_views[:NviewFilter]
+    # Read every view's files ONCE (the reference re-reads each source view's
+    # depth map for every reference view it supports), then run the whole
+    # scan's photometric + geometric filter in a single device launch.
+    t_load0 = time.time()
+    view_ids = sorted({v for r, s in pair_data for v in [r] + list(s)})
+    depths, confs, Ks, Es = [], [], [], []
+    for v in view_ids:
+        K, E = read_camera_parameters(cam_path(v))
+        Ks.append(K)
+        Es.append(E)
+        depths.append(read_pfm(os.path.join(out_folder, f"depth_est/{v:0>8}.pfm"))[0])
+        confs.append(read_pfm(os.path.join(out_folder, f"confidence/{v:0>8}.pfm"))[0])
+    depths = np.stack(depths)
+    confs = np.stack(confs)
+    Ks = np.stack(Ks)
+    Es = np.stack(Es)
+    t_load = time.time() - t_load0
 
-        ref_intrinsics, ref_extrinsics = read_camera_parameters(cam_path(ref_view))
-        ref_depth = read_pfm(
-            os.path.join(out_folder, f"depth_est/{ref_view:0>8}.pfm")
-        )[0]
-        confidence = read_pfm(
-            os.path.join(out_folder, f"confidence/{ref_view:0>8}.pfm")
-        )[0]
+    t_fuse0 = time.time()
+    results = fuse_scan(
+        depths, confs, Ks, Es, pair_data, view_ids,
+        NviewFilter=NviewFilter,
+        photomask=photomask,
+        geomask=geomask,
+        condmask_pixel=condmask_pixel,
+        condmask_depth=condmask_depth,
+    )
+    t_fuse = time.time() - t_fuse0
+    print(
+        f"scan filter: {len(pair_data)} ref views in one launch — "
+        f"load {t_load:.3f}s, device+fetch {t_fuse:.3f}s"
+    )
+
+    for (ref_view, src_views), result in zip(pair_data, results):
+        t0 = time.time()
+        row = view_ids.index(ref_view)
+        ref_intrinsics, ref_extrinsics = Ks[row], Es[row]
+        ref_depth = depths[row]
         ref_img = read_img(
             os.path.join(outdir_acq, scan, "images", f"00000{ref_view:0>3}.png")
         )
@@ -89,28 +116,6 @@ def filter_depth(
         h_d, w_d = ref_depth.shape[:2]
         assert (h_i, w_i) == (4 * h_d, 4 * w_d), "incompatible depth/image dims"
 
-        src_depths, src_Ks, src_Es = [], [], []
-        for src_view in src_views:
-            K, E = read_camera_parameters(cam_path(src_view))
-            src_Ks.append(K)
-            src_Es.append(E)
-            src_depths.append(
-                read_pfm(os.path.join(out_folder, f"depth_est/{src_view:0>8}.pfm"))[0]
-            )
-
-        result = fuse_reference_view(
-            ref_depth,
-            confidence,
-            ref_intrinsics,
-            ref_extrinsics,
-            np.stack(src_depths),
-            np.stack(src_Ks),
-            np.stack(src_Es),
-            photomask=photomask,
-            geomask=geomask,
-            condmask_pixel=condmask_pixel,
-            condmask_depth=condmask_depth,
-        )
         photo_mask = result["photo_mask"]
         geo_mask = result["geo_mask"]
         final_mask = result["final_mask"]

@@ -87,46 +87,94 @@ def _inverse_coords(inv_g, q, p):
     return x, y
 
 
+def _support_bounds(src_proj, ref_proj, depth_values, H, W):
+    """Per (d, src row, src x-block): bounds of the ref-pixel support.
+
+    A candidate ref pixel (x, y) contributes to src pixel (q, p) iff its
+    forward sample coordinate lies within 1 px: equivalently x lies between
+    the inverse images of q-1 and q+1 (projective maps are monotonic along
+    rows), and y between those of p-1 and p+1. Evaluating the inverse map
+    at q_edges±1 / p±1 therefore gives exact support bounds per block.
+
+    Returns (x_lo, x_hi, y_lo, y_hi, x_star_lo, x_star_hi, x_rad) as f32
+    [D, H, nXB] arrays (x_star_* bound the anchor floor(x*))."""
+    nXB = -(-W // TILE_W)
+    D = depth_values.shape[0]
+    G = _pixel_homographies(src_proj, ref_proj, depth_values, H, W)
+    inv_g = jax.vmap(lambda m: jnp.linalg.inv(m))(G).reshape(D, 9)
+    inv_g = inv_g / inv_g[:, 8:9]
+
+    q_edges = jnp.stack(
+        [jnp.arange(nXB) * TILE_W,
+         jnp.minimum((jnp.arange(nXB) + 1) * TILE_W - 1, W - 1)],
+        axis=-1,
+    ).astype(jnp.float32)  # [nXB, 2]
+    qs = jnp.stack([q_edges - 1.0, q_edges, q_edges + 1.0], -1)  # [nXB, 2, 3]
+    ps = jnp.arange(H, dtype=jnp.float32)
+    pss = jnp.stack([ps - 1.0, ps, ps + 1.0], -1)  # [H, 3]
+
+    def per_d(g9):
+        return _inverse_coords(
+            g9, qs[None, :, :, :, None], pss[:, None, None, None, :]
+        )  # [H, nXB, 2, 3, 3] each (q-edge, q±1, p±1)
+
+    x_all, y_all = jax.vmap(per_d)(inv_g)  # [D, H, nXB, 2, 3, 3]
+    x_lo = jnp.min(x_all, axis=(-3, -2, -1))
+    x_hi = jnp.max(x_all, axis=(-3, -2, -1))
+    y_lo = jnp.min(y_all, axis=(-3, -2, -1))
+    y_hi = jnp.max(y_all, axis=(-3, -2, -1))
+    # anchor (= floor(x*(q))) bounds and max support radius around x*
+    x_star = x_all[..., 1, 1]  # [D, H, nXB, 2]
+    x_star_lo = jnp.min(x_star, axis=-1)
+    x_star_hi = jnp.max(x_star, axis=-1)
+    x_rad = jnp.max(
+        jnp.abs(x_all[..., 0, 1] - x_star) , axis=-1
+    )
+    x_rad = jnp.maximum(
+        x_rad, jnp.max(jnp.abs(x_all[..., 2, 1] - x_star), axis=-1)
+    )
+    finite = (
+        jnp.all(jnp.isfinite(x_all)) & jnp.all(jnp.isfinite(y_all))
+    )
+    return x_lo, x_hi, y_lo, y_hi, x_star_lo, x_star_hi, x_rad, finite
+
+
 def suggest_grad_envelope(src_projs, ref_proj, depth_values, height, width) -> dict:
     """Host-side: (kx, yspan, pr, pcp) covering all source views of a rig."""
     H, W = height, width
     dv = jnp.asarray(depth_values, jnp.float32)
-    x_rad, y_rad, y_var, x_span_p = 1.0, 1.0, 0.0, 0
+    kx_need, yspan_need, ydrift, pspan = 2, 2, 2, 8
     for src_proj in np.asarray(src_projs).reshape(-1, 4, 4):
-        G = _pixel_homographies(
-            jnp.asarray(src_proj, jnp.float32), jnp.asarray(ref_proj, jnp.float32),
-            dv, H, W,
+        x_lo, x_hi, y_lo, y_hi, xs_lo, xs_hi, x_rad, _f = map(
+            np.asarray,
+            _support_bounds(
+                jnp.asarray(src_proj, jnp.float32),
+                jnp.asarray(ref_proj, jnp.float32), dv, H, W,
+            ),
         )
-        inv_g = np.asarray(jax.vmap(jnp.linalg.inv)(G)).reshape(-1, 9)
-        qs = np.array([0.0, W / 2, W - 1.0], np.float32)
-        ps = np.array([0.0, H / 2, H - 1.0], np.float32)
-        qq, pp = np.meshgrid(qs, ps)
-        for g9 in inv_g:
-            den = g9[6] * qq + g9[7] * pp + g9[8]
-            x0 = (g9[0] * qq + g9[1] * pp + g9[2]) / den
-            y0 = (g9[3] * qq + g9[4] * pp + g9[5]) / den
-            den1 = g9[6] * (qq + 1) + g9[7] * pp + g9[8]
-            x1 = (g9[0] * (qq + 1) + g9[1] * pp + g9[2]) / den1
-            y1 = (g9[3] * (qq + 1) + g9[4] * pp + g9[5]) / den1
-            den2 = g9[6] * qq + g9[7] * (pp + 1) + g9[8]
-            x2 = (g9[0] * qq + g9[1] * (pp + 1) + g9[2]) / den2
-            y2 = (g9[3] * qq + g9[4] * (pp + 1) + g9[5]) / den2
-            mask = np.isfinite(x0) & np.isfinite(x1) & np.isfinite(x2)
-            if not mask.any():
-                continue
-            x_rad = max(x_rad, float(np.abs(x1 - x0)[mask].max()))
-            y_rad = max(y_rad, float(np.abs(y2 - y0)[mask].max()))
-            y_var = max(y_var, float(np.abs(y1 - y0)[mask].max()) * TILE_W)
-        # window pair-span across a 128-px src tile
-        x_tile = float(x_rad) * TILE_W
-        x_span_p = max(x_span_p, int(x_tile / 2) + KX + 4)
+        kx_need = max(kx_need, 2 * (int(np.ceil(x_rad.max())) + 1))
+        yspan_need = max(
+            yspan_need, int(np.ceil((y_hi - y_lo).max())) + 2
+        )
+        # the patch is per (tile, d): cover the 8-row band extent per plane
+        D, Hn, nXB = y_lo.shape
+        nYB = -(-Hn // TILE_H)
 
-    kx = int(np.ceil(2 * x_rad)) + 2
-    kx += kx % 2  # dx loop runs in parity pairs
-    ky = int(np.ceil(2 * y_rad)) + 2
-    yspan = ky + int(np.ceil(min(y_var, TILE_W))) + 1
-    pr = -(-max(yspan + TILE_H + 2, PRG) // 8) * 8
-    pcp = 128 * (-(-(x_span_p + 128) // 128))
+        def banded(a, fill):
+            pad = np.full((D, nYB * TILE_H - Hn, nXB), fill, a.dtype)
+            return np.concatenate([a, pad], 1).reshape(D, nYB, TILE_H, nXB)
+
+        band_y = banded(y_hi, -1e9).max(2) - banded(y_lo, 1e9).min(2)
+        ydrift = max(ydrift, int(np.ceil(band_y.max())) + 2)
+        p_lo = np.floor(x_lo).astype(np.int64) >> 1
+        p_hi = (np.floor(x_hi).astype(np.int64) + 2) >> 1
+        band_p = banded(p_hi, -(10 ** 9)).max(2) - banded(p_lo, 10 ** 9).min(2)
+        pspan = max(pspan, int(band_p.max()) + 2)
+
+    kx = kx_need + (kx_need % 2)
+    yspan = yspan_need
+    pr = -(-max(ydrift + 2, yspan + 2) // 8) * 8
+    pcp = 128 * (-(-(pspan + 128) // 128))
     return {"kx": kx, "yspan": yspan, "pr": pr, "pcp": max(pcp, 256)}
 
 
@@ -142,7 +190,7 @@ def plan_grad(
     pr: int = PRG,
     pcp: int = PCPG,
 ) -> GradPlan:
-    """Corner-evaluate the inverse map to place windows over ref-grad space.
+    """Support-bound the inverse map to place windows over ref-grad space.
 
     Evaluated per (depth, src row, src x-block) directly (no monotonicity in
     d is assumed — the inverse coords are computed for every plane)."""
@@ -158,27 +206,27 @@ def plan_grad(
     inv_g = jax.vmap(lambda m: jnp.linalg.inv(m))(G).reshape(D, 9)
     inv_g = inv_g / inv_g[:, 8:9]  # normalize so the kernel skips one divide
 
-    qs_edges = jnp.stack(
-        [jnp.arange(nXB) * TILE_W,
-         jnp.minimum((jnp.arange(nXB) + 1) * TILE_W - 1, W - 1)],
-        axis=-1,
-    ).astype(jnp.float32)  # [nXB, 2]
-    ps = jnp.arange(H, dtype=jnp.float32)
-    x_ref, y_ref = jax.vmap(
-        lambda g9: _inverse_coords(
-            g9, qs_edges[None], ps[:, None, None]
-        )
-    )(inv_g)  # [D, H, nXB, 2] each
+    x_lo, x_hi, y_lo, y_hi, xs_lo, xs_hi, x_rad, finite = _support_bounds(
+        src_proj, ref_proj, depth_values, H, W
+    )
 
-    # candidate anchors: xa = floor(x*) - (kx//2 - 1); box [xa, xa+kx)
-    xa = jnp.floor(jnp.min(x_ref, axis=-1)).astype(jnp.int32) - (kx // 2 - 1)
-    xz = jnp.floor(jnp.max(x_ref, axis=-1)).astype(jnp.int32) - (kx // 2 - 1) + kx - 1
-    ya = jnp.floor(jnp.min(y_ref, axis=-1)).astype(jnp.int32) - (kx // 2 - 1)
-    # y anchor uses its own box (ky folded into yspan); reuse kx//2-1 shift
-    yz = jnp.floor(jnp.max(y_ref, axis=-1)).astype(jnp.int32) + yspan
-
-    p_lo = xa >> 1
-    p_hi = (xz + 1) >> 1
+    # support rows/cols needed (integers), and the kernel's gather window
+    # [base, base+128) in pair space that must contain every nonzero-weight
+    # candidate's pair index
+    ya = jnp.floor(y_lo).astype(jnp.int32)                 # first window row
+    yz = jnp.floor(y_hi).astype(jnp.int32) + 1             # last needed row
+    # kernel candidate box: [floor(x*) - (kx//2 - 1), floor(x*) + kx//2];
+    # gather indices of its nonzero-weight members span the support cols
+    xi_lo = jnp.minimum(
+        jnp.floor(x_lo).astype(jnp.int32),
+        jnp.floor(xs_lo).astype(jnp.int32) - (kx // 2 - 1),
+    )
+    xi_hi = jnp.maximum(
+        jnp.floor(x_hi).astype(jnp.int32) + 1,
+        jnp.floor(xs_hi).astype(jnp.int32) + kx // 2,
+    )
+    p_lo = xi_lo >> 1
+    p_hi = (xi_hi + 1) >> 1
 
     def banded(a, pad_value=0, mode="constant"):
         if mode == "edge":
@@ -197,11 +245,15 @@ def plan_grad(
     woy = jnp.clip(y_lo_b - patch_y0[:, :, None, :], 0, pr - yspan)
     base = jnp.clip(p_lo_b - patch_x0p[:, :, None, :], 0, pcp - 128)
 
-    # validity: pair span fits one gather window; y span fits yspan; the
-    # per-(tile,d) patch covers its windows; the true support fits the box
-    p_span = banded(p_hi - p_lo + 1)
+    # validity:
+    #  - the kx candidate box covers the support radius around x*,
+    #  - yspan window rows cover the y support,
+    #  - one 128-lane gather window covers the pair span,
+    #  - the per-(tile, d) patch covers its windows.
+    box_ok = jnp.all(x_rad + 1.0 <= kx // 2)
     y_need = banded(yz - ya + 1)
-    fits = (p_span <= 128) & (y_need <= yspan + 1)
+    p_span = banded(p_hi - p_lo + 1)
+    fits = (p_span <= 128) & (y_need <= yspan)
     p_hi_b = banded(p_hi, mode="edge")
     y_hi_b = banded(yz, mode="edge")
     covers = (
@@ -210,12 +262,6 @@ def plan_grad(
         & (jnp.minimum(y_hi_b, H - 1) < patch_y0[:, :, None, :] + pr)
         & (jnp.maximum(y_lo_b, 0) >= patch_y0[:, :, None, :])
     )
-    # support radius: |xe^{-1}(q+1) - xe^{-1}(q-1)| must fit the kx box and
-    # the y radius must fit yspan. x_ref at block edges differ by the local
-    # inverse slope x TILE_W; per-pixel radius = that / TILE_W.
-    x_rad = jnp.abs(x_ref[..., 1] - x_ref[..., 0]) / jnp.float32(TILE_W)
-    box_ok = jnp.all(2 * x_rad + 2 <= kx)
-    finite = jnp.all(jnp.isfinite(x_ref)) & jnp.all(jnp.isfinite(y_ref))
     valid = jnp.all(fits & covers) & box_ok & finite
 
     return GradPlan(

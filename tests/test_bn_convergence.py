@@ -1,0 +1,122 @@
+"""Quantify the documented BatchNorm deviation (COMPONENTS.md):
+
+Our FeatureNet folds the V views into the batch axis, so train-mode BN
+statistics pool across views; the reference calls FeatureNet per view
+(/root/reference/models/mvsnet.py:125), computing BN batch stats per view.
+Eval mode is unaffected (running stats). This test trains BOTH
+implementations from identical weights on the identical batch sequence
+(same Adam hyperparameters) and asserts the loss trajectories track each
+other — i.e. the pooled-view BN does not change convergence.
+
+Measured on the synthetic rig (8 steps, lr 1e-3): per-step relative loss
+delta stays under ~2%; see docs/ROUND2_NOTES.md for the recorded table.
+"""
+
+import numpy as np
+import pytest
+
+
+def _batches(n_steps, B, V, H, W, D, seed=0):
+    rng = np.random.RandomState(seed)
+    K = np.array([[W * 0.7, 0, W / 8], [0, W * 0.7, H / 8], [0, 0, 1]], np.float32)
+    projs = []
+    for v in range(V):
+        E = np.eye(4, dtype=np.float32)
+        E[0, 3] = -2.0 * v
+        P = E.copy()
+        P[:3, :4] = (K / 4.0) @ E[:3, :4]
+        projs.append(P)
+    proj = np.broadcast_to(np.stack(projs)[None], (B, V, 4, 4)).copy()
+    dv = np.broadcast_to(
+        np.linspace(425.0, 905.0, D, dtype=np.float32)[None], (B, D)
+    ).copy()
+    out = []
+    for _ in range(n_steps):
+        out.append(
+            dict(
+                imgs=rng.rand(B, V, H, W, 3).astype(np.float32),
+                proj_matrices=proj,
+                depth_values=dv,
+                depth=rng.uniform(425, 905, (B, H // 4, W // 4)).astype(np.float32),
+                mask=(rng.rand(B, H // 4, W // 4) > 0.3).astype(np.float32),
+            )
+        )
+    return out
+
+
+@pytest.mark.slow
+def test_bn_pooling_does_not_change_convergence():
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as tF
+
+    from scene_3dreconstruction_mvsnet_tpu.interop import export_torch_state_dict
+    from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
+    from scene_3dreconstruction_mvsnet_tpu.train import (
+        TrainState, make_optimizer, make_train_step,
+    )
+
+    B, V, H, W, D, steps, lr = 1, 3, 64, 96, 16, 8, 1e-3
+    batches = _batches(steps, B, V, H, W, D)
+
+    # ---- ours ----
+    model = MVSNet()
+    variables = model.init(
+        jax.random.PRNGKey(3),
+        jnp.asarray(batches[0]["imgs"]),
+        jnp.asarray(batches[0]["proj_matrices"]),
+        jnp.asarray(batches[0]["depth_values"]),
+    )
+    state = TrainState.create(variables, make_optimizer(lambda s: lr))
+    step = jax.jit(make_train_step(model))
+    ours = []
+    for b in batches:
+        state, aux = step(state, {k: jnp.asarray(v) for k, v in b.items()})
+        ours.append(float(aux["loss"]))
+
+    # ---- reference (CPU torch), identical init weights ----
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from models.mvsnet import MVSNet as TorchMVSNet, mvsnet_loss  # noqa: E402
+
+    tmodel = TorchMVSNet(refine=False)
+    sd = {
+        k[len("module."):]: torch.from_numpy(np.asarray(v))
+        for k, v in export_torch_state_dict(variables).items()
+    }
+    missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    assert all("refine" in m for m in missing), missing
+    tmodel.train()
+    opt = torch.optim.Adam(tmodel.parameters(), lr=lr, betas=(0.9, 0.999))
+    theirs = []
+    for b in batches:
+        opt.zero_grad()
+        imgs = torch.from_numpy(
+            np.transpose(b["imgs"], (0, 1, 4, 2, 3))
+        )  # torch is NCHW
+        outputs = tmodel(
+            imgs, torch.from_numpy(b["proj_matrices"]),
+            torch.from_numpy(b["depth_values"]),
+        )
+        loss = mvsnet_loss(
+            outputs["depth"], torch.from_numpy(b["depth"]),
+            torch.from_numpy(b["mask"]),
+        )
+        loss.backward()
+        opt.step()
+        theirs.append(float(loss.detach()))
+
+    rel = [abs(a - b) / max(abs(b), 1e-6) for a, b in zip(ours, theirs)]
+    print("ours:  ", [f"{x:.4f}" for x in ours])
+    print("theirs:", [f"{x:.4f}" for x in theirs])
+    print("rel:   ", [f"{x:.4f}" for x in rel])
+    # step 0 losses are identical weights pre-update: near-exact; later
+    # steps accumulate the BN-stat deviation — must stay bounded
+    assert rel[0] < 1e-3, rel
+    assert max(rel) < 0.05, rel
+    # both must actually be learning (decreasing trend)
+    assert ours[-1] < ours[0]
+    assert theirs[-1] < theirs[0]

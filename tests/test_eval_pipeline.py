@@ -137,6 +137,42 @@ def test_fuse_reference_view(fusion_scene):
     assert not out2["final_mask"].any()
 
 
+def test_fuse_scan_matches_per_view(fusion_scene):
+    """The single-launch whole-scan filter must reproduce the per-view
+    path exactly, including ragged source lists."""
+    from scene_3dreconstruction_mvsnet_tpu.eval.filtering import fuse_scan
+
+    rig, depths, Ks, Es = fusion_scene
+    conf = [np.full_like(depths[v], 0.6 + 0.1 * v) for v in range(rig.n_views)]
+    # ragged pair data: view 2 has fewer sources
+    pair_data = [
+        (0, [1, 2, 3]),
+        (1, [0, 2, 3]),
+        (2, [3]),
+        (3, [0, 1, 2]),
+    ]
+    results = fuse_scan(
+        np.stack(depths), np.stack(conf), np.stack(Ks), np.stack(Es),
+        pair_data, [0, 1, 2, 3],
+        NviewFilter=3, photomask=0.65, geomask=2,
+        condmask_pixel=1.0, condmask_depth=0.01,
+    )
+    for (ref_view, src_views), got in zip(pair_data, results):
+        want = fuse_reference_view(
+            depths[ref_view], conf[ref_view], Ks[ref_view], Es[ref_view],
+            np.stack([depths[s] for s in src_views]),
+            np.stack([Ks[s] for s in src_views]),
+            np.stack([Es[s] for s in src_views]),
+            photomask=0.65, geomask=2, condmask_pixel=1.0, condmask_depth=0.01,
+        )
+        np.testing.assert_array_equal(got["photo_mask"], want["photo_mask"])
+        np.testing.assert_array_equal(got["geo_mask"], want["geo_mask"])
+        np.testing.assert_array_equal(got["final_mask"], want["final_mask"])
+        np.testing.assert_allclose(
+            got["depth_est_averaged"], want["depth_est_averaged"], rtol=1e-6
+        )
+
+
 @pytest.mark.slow
 def test_eval_cli_end_to_end(tmp_path):
     """Full two-stage pipeline through the eval.py CLI on a synthetic eval
