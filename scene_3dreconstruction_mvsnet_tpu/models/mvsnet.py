@@ -49,6 +49,11 @@ class MVSNet(nn.Module):
         traced-validity fallback to the XLA sweep for rigs that exceed the
         envelope. Get it from ops.pallas.sweep_variance.suggest_envelope.
         Inference-only (no VJP registered); training takes the XLA sweep.
+      pallas_grad_env: (kx, yspan, pr, pcp) — in training, route the warp's
+        BACKWARD through the inverse-warp Pallas kernel
+        (ops/pallas/warp_grad.py) instead of XLA's scatter-add transpose.
+        Get it from ops.pallas.warp_grad.suggest_grad_envelope; size over
+        the rig family with margin (the backward does not fall back).
       dtype: computation dtype for the conv stacks (bf16 = TPU fast path;
         None = f32 for bit-parity eval). Params are always f32.
       align_corners: sampler convention; False matches the reference under
@@ -65,6 +70,7 @@ class MVSNet(nn.Module):
     depth_chunk: Optional[int] = None
     use_pallas_regression: bool = False
     pallas_sweep_env: Optional[tuple[int, int, int]] = None
+    pallas_grad_env: Optional[tuple[int, int, int, int]] = None
     dtype: Any = None
     align_corners: bool = False
     volume_sharding: Any = None
@@ -112,6 +118,7 @@ class MVSNet(nn.Module):
         sweep = lambda f, p, d: cost_volume_variance(
             f, p, d, depth_chunk=self.depth_chunk,
             align_corners=self.align_corners, pallas_env=sweep_env,
+            grad_env=self.pallas_grad_env if train else None,
         )
         if self.remat:
             # recompute the sweep in the backward pass instead of storing

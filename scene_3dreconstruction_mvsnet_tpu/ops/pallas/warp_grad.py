@@ -567,10 +567,11 @@ def make_warp_with_pallas_grad(kx: int, yspan: int, pr: int, pcp: int,
 
     def fwd(src_fea, src_proj, ref_proj, depth_values):
         out = warp_src_feature(src_fea, src_proj, ref_proj, depth_values)
-        return out, (src_fea.dtype, src_proj, ref_proj, depth_values)
+        # NB: no feature residuals — the backward needs only geometry
+        return out, (src_proj, ref_proj, depth_values)
 
     def bwd(res, g):
-        in_dtype, src_proj, ref_proj, depth_values = res
+        src_proj, ref_proj, depth_values = res
 
         def one(args):
             g_b, sp, rp, dv = args
@@ -581,7 +582,8 @@ def make_warp_with_pallas_grad(kx: int, yspan: int, pr: int, pcp: int,
             return dsrc
 
         dsrc = lax.map(one, (g, src_proj, ref_proj, depth_values))
-        return (dsrc.astype(in_dtype), None, None, None)
+        # the warp preserves dtype, so the cotangent's dtype is src_fea's
+        return (dsrc.astype(g.dtype), None, None, None)
 
     warp.defvjp(fwd, bwd)
     return warp

@@ -23,15 +23,31 @@ def _sweep_variance_chunk(
     proj_matrices: jnp.ndarray,
     depth_chunk: jnp.ndarray,
     align_corners: bool,
+    grad_env: tuple[int, int, int, int] | None = None,
 ) -> jnp.ndarray:
     """Variance volume for one chunk of depth planes.
 
     features: [B, V, H, W, C] (view 0 = reference), proj: [B, V, 4, 4],
     depth_chunk: [B, Dc] -> [B, Dc, H, W, C].
+
+    grad_env: (kx, yspan, pr, pcp) — route the warp through the custom-VJP
+    wrapper whose backward is the inverse-warp Pallas kernel
+    (ops/pallas/warp_grad.py) instead of XLA's scatter-add transpose.
+    Requires align_corners=False (the kernel evaluates the reference's
+    sampling composition).
     """
     B, V, H, W, C = features.shape
     Dc = depth_chunk.shape[1]
     acc_dtype = jnp.float32  # accumulate sum/sum^2 in f32 even for bf16 warps
+
+    warp = warp_src_feature
+    if grad_env is not None and not align_corners:
+        from .pallas.warp_grad import make_warp_with_pallas_grad
+
+        pallas_warp = make_warp_with_pallas_grad(
+            *grad_env, interpret=jax.default_backend() != "tpu"
+        )
+        warp = lambda f, sp, rp, dv, align_corners=False: pallas_warp(f, sp, rp, dv)
 
     ref_fea = features[:, 0]
     ref_proj = proj_matrices[:, 0]
@@ -49,7 +65,7 @@ def _sweep_variance_chunk(
     def body(carry, xs):
         vol_sum, vol_sq = carry
         src_fea, src_proj = xs
-        warped = warp_src_feature(
+        warped = warp(
             src_fea, src_proj, ref_proj, depth_chunk, align_corners=align_corners
         ).astype(acc_dtype)
         return (vol_sum + warped, vol_sq + warped * warped), None
@@ -67,6 +83,7 @@ def cost_volume_variance(
     depth_chunk: int | None = None,
     align_corners: bool = False,
     pallas_env: tuple[int, int, int] | None = None,
+    grad_env: tuple[int, int, int, int] | None = None,
 ) -> jnp.ndarray:
     """Variance cost volume over views.
 
@@ -85,6 +102,11 @@ def cost_volume_variance(
         reference's sampler convention (align_corners=False), C=32 features,
         and B==1; get the envelope from
         ops.pallas.sweep_variance.suggest_envelope.
+      grad_env: (kx, yspan, pr, pcp) — route the warp through the custom-VJP
+        wrapper (backward = inverse-warp Pallas kernel, no scatter-add).
+        Get it from ops.pallas.warp_grad.suggest_grad_envelope; size it over
+        the whole rig family with margin — the backward does not fall back
+        (see make_warp_with_pallas_grad).
 
     Returns: [B, D, H, W, C] variance volume.
     """
@@ -121,7 +143,9 @@ def cost_volume_variance(
         )
 
     if depth_chunk is None or depth_chunk >= D:
-        return _sweep_variance_chunk(features, proj_matrices, depth_values, align_corners)
+        return _sweep_variance_chunk(
+            features, proj_matrices, depth_values, align_corners, grad_env
+        )
 
     if D % depth_chunk != 0:
         raise ValueError(f"depth_chunk {depth_chunk} must divide D={D}")
@@ -130,7 +154,9 @@ def cost_volume_variance(
     chunks = jnp.moveaxis(chunks, 1, 0)  # [n_chunks, B, Dc]
 
     def body(_, depth_c):
-        out = _sweep_variance_chunk(features, proj_matrices, depth_c, align_corners)
+        out = _sweep_variance_chunk(
+            features, proj_matrices, depth_c, align_corners, grad_env
+        )
         return None, out
 
     _, vols = jax.lax.scan(body, None, chunks)  # [n_chunks, B, Dc, H, W, C]

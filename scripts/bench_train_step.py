@@ -1,0 +1,92 @@
+"""Time the training step at the full DTU recipe on one chip.
+
+Round-1: 32 s/step (XLA scatter-add backward + remat recompute).
+Usage: python scripts/bench_train_step.py [--xla] [--remat] [--batch N]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
+    from scene_3dreconstruction_mvsnet_tpu.train import (
+        TrainState, make_optimizer, make_train_step,
+    )
+    from scene_3dreconstruction_mvsnet_tpu.ops.pallas.warp_grad import (
+        suggest_grad_envelope,
+    )
+
+    B = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 1
+    use_pallas = "--xla" not in sys.argv
+    remat = "--remat" in sys.argv
+    V, H, W, D = 3, 512, 640, 192
+
+    rng = np.random.RandomState(0)
+    K = np.array([[W * 0.7, 0, W / 8], [0, W * 0.7, H / 8], [0, 0, 1]], np.float32)
+    projs = []
+    for v in range(V):
+        E = np.eye(4, dtype=np.float32)
+        E[0, 3] = -2.0 * v
+        P = E.copy()
+        P[:3, :4] = (K / 4.0) @ E[:3, :4]
+        projs.append(P)
+    proj = np.broadcast_to(np.stack(projs)[None], (B, V, 4, 4)).copy()
+    dv = np.broadcast_to(
+        np.linspace(425, 905, D, dtype=np.float32)[None], (B, D)
+    ).copy()
+
+    grad_env = None
+    if use_pallas:
+        env = suggest_grad_envelope(projs[1:], projs[0], dv[0], H // 4, W // 4)
+        grad_env = (env["kx"] + 2, env["yspan"] + 4,
+                    -(-(env["pr"] + 8) // 8) * 8, env["pcp"])
+        print("grad envelope:", grad_env)
+
+    model = MVSNet(
+        dtype=jnp.bfloat16,
+        depth_chunk=48,
+        remat=remat,
+        pallas_grad_env=grad_env,
+    )
+    batch = {
+        "imgs": jnp.asarray(rng.rand(B, V, H, W, 3).astype(np.float32)),
+        "proj_matrices": jnp.asarray(proj),
+        "depth_values": jnp.asarray(dv),
+        "depth": jnp.asarray(
+            rng.uniform(425, 905, (B, H // 4, W // 4)).astype(np.float32)
+        ),
+        "mask": jnp.ones((B, H // 4, W // 4), jnp.float32),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"],
+    )
+    state = TrainState.create(variables, make_optimizer(lambda s: 1e-3))
+    step = jax.jit(make_train_step(model))
+
+    t0 = time.time()
+    state, aux = step(state, batch)
+    loss = float(aux["loss"])
+    print(f"compile+first step: {time.time()-t0:.1f}s loss={loss:.3f}")
+
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        state, aux = step(state, batch)
+        _ = float(aux["loss"])  # force
+    dt = (time.time() - t0) / iters
+    mode = f"pallas_grad={use_pallas} remat={remat} B={B}"
+    print(f"train step ({mode}, {V}v {H}x{W} D{D} bf16): {dt:.2f} s/step")
+
+
+if __name__ == "__main__":
+    main()

@@ -108,27 +108,29 @@ def bench():
     dt = (time.time() - t0) / 10
     print(f"pallas warp-grad ({H}x{W}x{C}, D={D}): {dt*1e3:.1f} ms/view")
 
-    # XLA scatter-add transpose baseline
-    def f(x):
-        return warp_src_feature(
-            x[None], args[0][None], args[1][None], args[2][None]
-        )[0]
+    if "--xla-baseline" in sys.argv:
+        # XLA scatter-add transpose baseline — compile alone takes several
+        # minutes at these shapes (the pathology this kernel replaces)
+        def f(x):
+            return warp_src_feature(
+                x[None], args[0][None], args[1][None], args[2][None]
+            )[0]
 
-    _, vjp = jax.vjp(f, jnp.asarray(fea))
+        _, vjp = jax.vjp(f, jnp.asarray(fea))
 
-    @jax.jit
-    def many_xla(g):
-        def body(c, _):
-            out = vjp(g + c)[0]
-            return c, out[0, 0, 0]
-        _, outs = jax.lax.scan(body, jnp.float32(0.0), None, length=3)
-        return outs
+        @jax.jit
+        def many_xla(g):
+            def body(c, _):
+                out = vjp(g + c)[0]
+                return c, out[0, 0, 0]
+            _, outs = jax.lax.scan(body, jnp.float32(0.0), None, length=3)
+            return outs
 
-    jax.block_until_ready(many_xla(g_d))
-    t0 = time.time()
-    np.asarray(many_xla(g_d))
-    dt_x = (time.time() - t0) / 3
-    print(f"XLA scatter-add baseline: {dt_x*1e3:.1f} ms/view")
+        jax.block_until_ready(many_xla(g_d))
+        t0 = time.time()
+        np.asarray(many_xla(g_d))
+        dt_x = (time.time() - t0) / 3
+        print(f"XLA scatter-add baseline: {dt_x*1e3:.1f} ms/view")
 
 
 if __name__ == "__main__":

@@ -113,9 +113,11 @@ def test_bn_pooling_does_not_change_convergence():
     print("ours:  ", [f"{x:.4f}" for x in ours])
     print("theirs:", [f"{x:.4f}" for x in theirs])
     print("rel:   ", [f"{x:.4f}" for x in rel])
-    # step 0 losses are identical weights pre-update: near-exact; later
-    # steps accumulate the BN-stat deviation — must stay bounded
-    assert rel[0] < 1e-3, rel
+    # Even at step 0 (identical weights) losses differ slightly: train-mode
+    # BN normalizes with batch statistics, and ours pool across the V views
+    # folded into the batch while the reference normalizes per view.
+    # Measured: 0.3-1.2% per-step relative delta over 8 steps — bounded.
+    assert rel[0] < 0.02, rel
     assert max(rel) < 0.05, rel
     # both must actually be learning (decreasing trend)
     assert ours[-1] < ours[0]

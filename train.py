@@ -63,6 +63,11 @@ parser.add_argument("--remat", action="store_true",
 parser.add_argument("--debug_MVSnet", type=int, default=0,
                     help="debug bitmask kept for CLI parity (visualization "
                          "windows are not supported in headless TPU runs)")
+parser.add_argument("--pallas_grad", action="store_true",
+                    help="route the plane-sweep warp's backward through the "
+                         "inverse-warp Pallas TPU kernel (no scatter-add); "
+                         "the window envelope is planned from the first "
+                         "training sample with margin")
 parser.add_argument("--multihost", action="store_true",
                     help="initialize the jax.distributed runtime before any "
                          "backend use (coordinator/process info from the "
@@ -108,11 +113,30 @@ def main() -> None:
 
     import jax.numpy as jnp
 
+    grad_env = None
+    if args.pallas_grad:
+        from scene_3dreconstruction_mvsnet_tpu.ops.pallas.warp_grad import (
+            suggest_grad_envelope,
+        )
+
+        sample = train_dataset[0]  # imgs [V, H, W, 3]
+        h4, w4 = sample["imgs"].shape[1] // 4, sample["imgs"].shape[2] // 4
+        env = suggest_grad_envelope(
+            sample["proj_matrices"][1:], sample["proj_matrices"][0],
+            sample["depth_values"], h4, w4,
+        )
+        # margin: the envelope is planned from ONE sample but must cover the
+        # whole rig family (the backward kernel does not fall back)
+        grad_env = (env["kx"] + 2, env["yspan"] + 4,
+                    -(-(env["pr"] + 8) // 8) * 8, env["pcp"])
+        print(f"pallas_grad envelope (with margin): {grad_env}")
+
     model = MVSNet(
         refine=args.refine,
         depth_chunk=args.depth_chunk,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
         remat=args.remat,
+        pallas_grad_env=grad_env,
     )
 
     trainer = Trainer(
