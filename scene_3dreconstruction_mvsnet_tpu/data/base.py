@@ -18,7 +18,7 @@ import numpy as np
 
 from ..io.cams import read_cam_file, read_pair_file
 from ..io.pfm import read_pfm
-from ..io.images import read_img
+from ..io.images import read_img, read_img_cached
 
 
 class MVSDatasetBase:
@@ -41,6 +41,10 @@ class MVSDatasetBase:
         self.ndepths = ndepths
         self.interval_scale = interval_scale
         self.pairfile = kwargs.get("pairfile", "pair.txt")
+        # optional pre-decoded image cache dir (multi-epoch training reads
+        # the same PNGs every epoch; PNG decode is ~12x slower than np.load
+        # of the decoded array — scripts/profile_input.py)
+        self.img_cache = kwargs.get("img_cache") or None
         self.kwargs = kwargs
         self.metas: list = []
 
@@ -58,8 +62,9 @@ class MVSDatasetBase:
         proj[:3, :4] = intrinsics @ proj[:3, :4]
         return proj
 
-    @staticmethod
-    def read_img(filename: str) -> np.ndarray:
+    def read_img(self, filename: str) -> np.ndarray:
+        if self.img_cache:
+            return read_img_cached(filename, self.img_cache)
         return read_img(filename)
 
     @staticmethod
@@ -78,5 +83,13 @@ class MVSDatasetBase:
 
     @staticmethod
     def stack_views(imgs: list[np.ndarray]) -> np.ndarray:
-        """[V] list of HxWx3 -> [V, H, W, 3] float32 (channels-last)."""
-        return np.stack(imgs).astype(np.float32)
+        """[V] list of HxWx3 -> [V, H, W, 3] float32 (channels-last).
+
+        Preallocates and copies each view once: ``np.stack(...).astype(f32)``
+        copies the full batch TWICE, which at DTU-full resolution was ~60% of
+        the per-sample host time on this 1-core box (scripts/profile_input.py).
+        """
+        out = np.empty((len(imgs),) + np.shape(imgs[0]), np.float32)
+        for i, im in enumerate(imgs):
+            out[i] = im
+        return out

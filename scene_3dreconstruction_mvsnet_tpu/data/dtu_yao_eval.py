@@ -42,7 +42,7 @@ class MVSDataset(MVSDatasetBase):
         return intrinsics, extrinsics, depth_min, depth_interval
 
     def read_img(self, filename):
-        img = super(MVSDataset, MVSDataset).read_img(filename)
+        img = super().read_img(filename)
         assert img.shape[:2] == (1200, 1600), img.shape
         return img[:-16, :]  # crop bottom: no intrinsics change needed
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.sampling import bilinear_sample_2d
+from ..ops.sampling import bilinear_sample_map
 
 _EXACT = jax.lax.Precision.HIGHEST
 
@@ -73,9 +73,7 @@ def reproject_with_depth(
     xy_src = K_xyz_src[:2] / K_xyz_src[2:3]
 
     # resample src depth at the projected coordinates (zeros border)
-    sampled = bilinear_sample_2d(
-        depth_src[None, :, :, None], xy_src[0][None], xy_src[1][None]
-    )[0, :, 0]
+    sampled = bilinear_sample_map(depth_src, xy_src[0], xy_src[1])
 
     # back-project with the *sampled* src depth, return to ref
     xyz_src2 = jnp.matmul(
@@ -159,7 +157,7 @@ def geometric_filter_stack(
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("ref_chunk",))
 def _fuse_scan_device(
     depths: jnp.ndarray,        # [V, H, W] all saved depth maps of the scan
     confidences: jnp.ndarray,   # [V, H, W]
@@ -172,6 +170,7 @@ def _fuse_scan_device(
     geomask: jnp.ndarray,       # [] i32
     condmask_pixel: jnp.ndarray,   # [] f32
     condmask_depth: jnp.ndarray,   # [] f32
+    ref_chunk: int = 8,
 ):
     def per_ref(r_i, s_i, s_ok):
         d_ref = depths[r_i]
@@ -192,7 +191,24 @@ def _fuse_scan_device(
         geo = geo_sum >= geomask
         return photo, geo, photo & geo, depth_avg.astype(jnp.float32)
 
-    return jax.vmap(per_ref)(ref_idx, src_idx, src_valid)
+    # Chunk reference views: vmap within a block (device-parallel), lax.map
+    # across blocks (sequential) so peak memory is bounded by ref_chunk refs
+    # rather than the whole scan (49+ views at full res).
+    R = ref_idx.shape[0]
+    ck = min(ref_chunk, R)
+    if R % ck != 0:
+        raise ValueError(f"R={R} must be padded to a multiple of ref_chunk={ck}")
+    nb = R // ck
+
+    def block(args):
+        return jax.vmap(per_ref)(*args)
+
+    outs = jax.lax.map(
+        block,
+        (ref_idx.reshape(nb, ck), src_idx.reshape(nb, ck, -1),
+         src_valid.reshape(nb, ck, -1)),
+    )
+    return jax.tree.map(lambda a: a.reshape((R,) + a.shape[2:]), outs)
 
 
 def fuse_scan(
@@ -208,6 +224,7 @@ def fuse_scan(
     geomask: int = 3,
     condmask_pixel: float = 1.0,
     condmask_depth: float = 0.01,
+    ref_chunk: int = 8,
 ):
     """Whole-scan filter in ONE device launch (vs the reference's CPU loop
     over (ref, src) pairs, /root/reference/eval.py:620-706).
@@ -215,7 +232,9 @@ def fuse_scan(
     ``depths``/``confidences`` are stacked per view id in ``view_ids``
     order; ``pair_data`` is the parsed pair file. Ragged source lists are
     padded to a fixed width (so one compilation serves every scan) and
-    masked out. Returns per-ref-view dicts in pair order."""
+    masked out. Reference views run ``ref_chunk`` at a time (vmap within a
+    chunk, lax.map across) to bound peak HBM on large rigs. Returns
+    per-ref-view dicts in pair order."""
     id_to_row = {v: i for i, v in enumerate(view_ids)}
     R = len(pair_data)
     width = max(1, min(NviewFilter, max(len(s) for _, s in pair_data)))
@@ -229,14 +248,24 @@ def fuse_scan(
             src_idx[i, j] = srcs[j] if j < len(srcs) else srcs[0] if srcs else 0
             src_valid[i, j] = j < len(srcs)
 
+    ck = max(1, min(ref_chunk, R))
+    pad = (-R) % ck
+    if pad:
+        ref_idx = np.concatenate([ref_idx, np.repeat(ref_idx[:1], pad, 0)])
+        src_idx = np.concatenate([src_idx, np.repeat(src_idx[:1], pad, 0)])
+        src_valid = np.concatenate([src_valid, np.repeat(src_valid[:1], pad, 0)])
+
     photo, geo, final, depth_avg = _fuse_scan_device(
         jnp.asarray(depths), jnp.asarray(confidences),
         jnp.asarray(Ks), jnp.asarray(Es),
         jnp.asarray(ref_idx), jnp.asarray(src_idx), jnp.asarray(src_valid),
         jnp.float32(photomask), jnp.int32(geomask),
         jnp.float32(condmask_pixel), jnp.float32(condmask_depth),
+        ref_chunk=ck,
     )
-    photo, geo, final, depth_avg = map(np.asarray, (photo, geo, final, depth_avg))
+    photo, geo, final, depth_avg = (
+        np.asarray(a)[:R] for a in (photo, geo, final, depth_avg)
+    )
     return [
         {
             "photo_mask": photo[i],

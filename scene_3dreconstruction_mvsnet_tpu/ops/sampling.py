@@ -113,6 +113,40 @@ def bilinear_sample_2d(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.
     return out.astype(dtype)
 
 
+def bilinear_sample_map(img2d: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Sample a single-channel [H, W] map at float pixel coords x/y [N] with
+    bilinear interpolation and zeros out-of-bounds padding. Returns [N].
+
+    Same border semantics as `bilinear_sample_2d` (footprint origin clamped
+    into a 2px zero border), but fetches the 4 taps as flat [N] gathers from
+    the flattened padded map instead of a [N, 2, 2, 1] footprint tensor:
+    on TPU that trailing (2, 1) shape is tile-padded to (2, 128) — a ~64x
+    memory blow-up that OOMs the whole-scan filter at 49 views
+    (eval/filtering.py). [N] gathers pad to lanes with no waste.
+    """
+    H, W = img2d.shape
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0c = jnp.clip(x0f, -2.0, float(W)).astype(jnp.int32) + 2
+    y0c = jnp.clip(y0f, -2.0, float(H)).astype(jnp.int32) + 2
+
+    padded = jnp.pad(img2d, ((2, 2), (2, 2)))
+    Wp = W + 4
+    flat = padded.reshape(-1)
+    base = y0c * Wp + x0c
+    t00 = jnp.take(flat, base)
+    t01 = jnp.take(flat, base + 1)
+    t10 = jnp.take(flat, base + Wp)
+    t11 = jnp.take(flat, base + Wp + 1)
+    top = t00 * (1.0 - wx) + t01 * wx
+    bot = t10 * (1.0 - wx) + t11 * wx
+    return (top * (1.0 - wy) + bot * wy).astype(img2d.dtype)
+
+
 def grid_sample_2d(
     img: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False
 ) -> jnp.ndarray:

@@ -116,6 +116,26 @@ def test_eval_dataset(tmp_path, rig):
     assert s["filename"] == "scan1/{}/00000000{}"
 
 
+def test_img_cache_matches_direct_reads(blender_root, tmp_path):
+    """img_cache=dir must produce byte-identical samples, populate the cache
+    on first pass, and serve from it afterwards (source deleted)."""
+    MVSDataset = find_dataset_def("blender")
+    listfile = os.path.join(blender_root, "train.txt")
+    plain = MVSDataset(blender_root, listfile, "train", 3, 16,
+                       interval_scale=1.0, Nlights="0:3")
+    cache = str(tmp_path / "imgcache")
+    cached = MVSDataset(blender_root, listfile, "train", 3, 16,
+                        interval_scale=1.0, Nlights="0:3", img_cache=cache)
+    a, b = plain[0], cached[0]
+    np.testing.assert_array_equal(a["imgs"], b["imgs"])
+    n_entries = len([f for f in os.listdir(cache) if f.endswith(".npy")])
+    assert n_entries > 0
+    # second read is served from the cache even if decoding would now differ
+    b2 = cached[0]
+    np.testing.assert_array_equal(a["imgs"], b2["imgs"])
+    assert len([f for f in os.listdir(cache) if f.endswith(".npy")]) == n_entries
+
+
 def test_loader_batching(blender_root):
     MVSDataset = find_dataset_def("blender")
     ds = MVSDataset(blender_root, os.path.join(blender_root, "train.txt"),

@@ -211,8 +211,12 @@ def test_init_shapes_match_imported(rng):
     (same structure and leaf shapes) so checkpoints are interchangeable."""
     imgs, projs, dv = _scene(rng)
     model = MVSNet()
-    init_vars = model.init(
-        jax.random.PRNGKey(0), jnp.asarray(imgs), jnp.asarray(projs), jnp.asarray(dv)
+    # shapes only — eval_shape avoids compiling/executing the full forward
+    init_vars = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), jnp.asarray(imgs), jnp.asarray(projs),
+            jnp.asarray(dv),
+        )
     )
     imported = import_torch_state_dict(_rand_state_dict(rng))
 

@@ -37,6 +37,10 @@ def scene():
     return H, W, C, D, fea, K, dv
 
 
+# v1 single-view kernel, superseded by ops/pallas/sweep_variance.py (which
+# has its own fast-tier parity test); first interpret-mode use pays ~40 s of
+# warmup on this 1-core host, so numeric parity rides the slow tier
+@pytest.mark.slow
 @pytest.mark.parametrize("tx,ty", [(0.0, 0.0), (-2.0, 0.0), (-3.0, 2.0)])
 def test_pallas_warp_matches_xla(scene, tx, ty):
     H, W, C, D, fea, K, dv = scene

@@ -68,6 +68,11 @@ parser.add_argument("--pallas_grad", action="store_true",
                          "inverse-warp Pallas TPU kernel (no scatter-add); "
                          "the window envelope is planned from the first "
                          "training sample with margin")
+parser.add_argument("--img_cache", default=None,
+                    help="directory for a pre-decoded image cache; "
+                         "multi-epoch training re-decodes the same PNGs "
+                         "every epoch and np.load of the decoded array is "
+                         "~12x faster on this host (profile_input.py)")
 parser.add_argument("--multihost", action="store_true",
                     help="initialize the jax.distributed runtime before any "
                          "backend use (coordinator/process info from the "
@@ -101,7 +106,8 @@ def main() -> None:
     print_args(args)
 
     MVSDataset = find_dataset_def(args.dataset)
-    common = dict(Nlights=args.Nlights, pairfile=args.pairfile, seed=seed)
+    common = dict(Nlights=args.Nlights, pairfile=args.pairfile, seed=seed,
+                  img_cache=args.img_cache)
     train_dataset = MVSDataset(
         args.trainpath, args.trainlist, "train", args.NtrainViews,
         args.numdepth, args.interval_scale, **common,
