@@ -12,10 +12,14 @@ Design (what changed vs plane_sweep_warp.py v1, and why it's fast):
     kP1 = x0>>1 in P1, so each tap needs exactly ONE vreg-local gather —
     and the index span of a 128-wide output tile HALVES to ~66 pairs,
     which fits a single 128-lane gather window.
-  * Dynamic lane roll: Mosaic's dynamic_gather is vreg-local (128 lanes).
-    Each patch row is rolled by the row's window base so all taps land in
-    lanes [0, 128) — one roll per (row, ry, parity), one gather per tap,
-    no cross-half select ladders (v1 spent ~2.4x here).
+  * 128-aligned 256-lane windows: Mosaic's dynamic_gather is vreg-local
+    (128 lanes), and the per-plane tap window's base is arbitrary. Each
+    patch row is sliced as a 256-lane window at a 128-ALIGNED base (lane-dim
+    dynamic slices must be 128-aligned) and each tap resolves with two
+    clipped vreg-local gathers + a lane select. This replaced a
+    `pltpu.roll` by a traced shift, which Mosaic emulates so expensively it
+    was ~7x the REST of the kernel combined (measured 184 ms with rolls vs
+    45 ms with gather+select vs 25 ms roll-free lower bound at DTU-full).
   * bf16-packed-in-f32 patches: channel c and c+16 are bit-packed into one
     f32 word (bf16 is the top half of f32), halving both VMEM footprint and
     gather count; values unpack exactly (bitcast+shift), interpolation runs
@@ -187,7 +191,19 @@ def plan_sweep(
         y_lo_b = banded(y_lo, mode="edge")
         p_lo_b = banded(p_lo, mode="edge")
         woy = jnp.clip(y_lo_b - patch_y0[None, :, None, :], 0, pr - yspan)
-        base = jnp.clip(p_lo_b - patch_x0p[None, :, None, :], 0, pcp - 128)
+        # 128-ALIGNED window base: the kernel slices a 256-lane window at
+        # `base` and covers the per-plane span (<=128 pairs by the fits
+        # check) with two clipped vreg-local gathers + a select — no
+        # pltpu.roll, which costs ~7x the rest of the kernel (measured:
+        # 184 ms with rolls vs 25 ms without at the DTU-full config).
+        # Flooring to 128 keeps p_lo inside: p_hi - base <= 127 + 127 < 256.
+        if pcp >= 256:
+            base = (
+                jnp.clip(p_lo_b - patch_x0p[None, :, None, :], 0, pcp - 256)
+                // 128
+            ) * 128
+        else:
+            base = jnp.zeros_like(p_lo_b)
 
         # validity: spans fit the envelope and the patch covers every
         # in-image window of its tile
@@ -360,18 +376,26 @@ def _sweep_kernel(
         for v in range(Vs):
             (kP0, kP1, wP0, wP1, w_y0, w_y1, y0, py0, px0) = view_data[v]
             woy = woy_ref[v, 0, 0, r, xb]
-            base = base_ref[v, 0, 0, r, xb]
+            base = base_ref[v, 0, 0, r, xb]  # multiple of 128 (plan_sweep)
 
-            i0 = jnp.clip(kP0[r : r + 1] - (px0 + base), 0, 127)
-            i1 = jnp.clip(kP1[r : r + 1] - (px0 + base), 0, 127)
-            i0 = jnp.broadcast_to(i0, (8, TILE_W))
-            i1 = jnp.broadcast_to(i1, (8, TILE_W))
+            # Window indices relative to the 256-lane window at `base`:
+            # valid taps land in [0, 256); each tap is resolved with two
+            # clipped vreg-local gathers (lanes [0,128) and [128,256)) and
+            # a lane select — pltpu.roll with a traced shift is ~7x slower
+            # than this whole inner loop (see plan_sweep comment).
+            i0 = kP0[r : r + 1] - (px0 + base)
+            i1 = kP1[r : r + 1] - (px0 + base)
+            s0 = jnp.broadcast_to(i0 < 128, (8, TILE_W))
+            s1 = jnp.broadcast_to(i1 < 128, (8, TILE_W))
+            i0_lo = jnp.broadcast_to(jnp.clip(i0, 0, 127), (8, TILE_W))
+            i0_hi = jnp.broadcast_to(jnp.clip(i0 - 128, 0, 127), (8, TILE_W))
+            i1_lo = jnp.broadcast_to(jnp.clip(i1, 0, 127), (8, TILE_W))
+            i1_hi = jnp.broadcast_to(jnp.clip(i1 - 128, 0, 127), (8, TILE_W))
             wp0 = wP0[r : r + 1]
             wp1 = wP1[r : r + 1]
             y0l = y0[r : r + 1] - (py0 + woy)
             wy0_r = w_y0[r : r + 1]
             wy1_r = w_y1[r : r + 1]
-            shift = pcp - base  # roll so pair (base+l) lands at lane l
 
             for cg in range(2):
                 w_lo = zero8
@@ -381,13 +405,30 @@ def _sweep_kernel(
                     yw = jnp.where(y0l == ry, wy0_r, 0.0) + jnp.where(
                         y0l == ry - 1, wy1_r, 0.0
                     )
-                    row0 = patch0[v, woy + ry, pl.ds(cg * 8, 8), :]
-                    row1 = patch1[v, woy + ry, pl.ds(cg * 8, 8), :]
                     if pcp > 128:
-                        row0 = pltpu.roll(row0, shift=shift, axis=1)[:, :128]
-                        row1 = pltpu.roll(row1, shift=shift, axis=1)[:, :128]
-                    g0 = jnp.take_along_axis(row0, i0, axis=1)
-                    g1 = jnp.take_along_axis(row1, i1, axis=1)
+                        win0 = patch0[
+                            v, woy + ry, pl.ds(cg * 8, 8),
+                            pl.ds(pl.multiple_of(base, 128), 256),
+                        ]
+                        win1 = patch1[
+                            v, woy + ry, pl.ds(cg * 8, 8),
+                            pl.ds(pl.multiple_of(base, 128), 256),
+                        ]
+                        g0 = jnp.where(
+                            s0,
+                            jnp.take_along_axis(win0[:, :128], i0_lo, axis=1),
+                            jnp.take_along_axis(win0[:, 128:], i0_hi, axis=1),
+                        )
+                        g1 = jnp.where(
+                            s1,
+                            jnp.take_along_axis(win1[:, :128], i1_lo, axis=1),
+                            jnp.take_along_axis(win1[:, 128:], i1_hi, axis=1),
+                        )
+                    else:
+                        row0 = patch0[v, woy + ry, pl.ds(cg * 8, 8), :]
+                        row1 = patch1[v, woy + ry, pl.ds(cg * 8, 8), :]
+                        g0 = jnp.take_along_axis(row0, i0_lo, axis=1)
+                        g1 = jnp.take_along_axis(row1, i1_lo, axis=1)
                     g0lo, g0hi = _unpack(g0)
                     g1lo, g1hi = _unpack(g1)
                     xlo = g0lo * wp0 + g1lo * wp1

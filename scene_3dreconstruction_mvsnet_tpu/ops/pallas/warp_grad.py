@@ -243,7 +243,15 @@ def plan_grad(
     y_lo_b = banded(ya, mode="edge")
     p_lo_b = banded(p_lo, mode="edge")
     woy = jnp.clip(y_lo_b - patch_y0[:, :, None, :], 0, pr - yspan)
-    base = jnp.clip(p_lo_b - patch_x0p[:, :, None, :], 0, pcp - 128)
+    # 128-aligned 256-lane window base (two clipped gathers + select in the
+    # kernel instead of pltpu.roll — same change as sweep_variance.plan_sweep,
+    # where the roll measured ~7x the rest of the kernel)
+    if pcp >= 256:
+        base = (
+            jnp.clip(p_lo_b - patch_x0p[:, :, None, :], 0, pcp - 256) // 128
+        ) * 128
+    else:
+        base = jnp.zeros_like(p_lo_b)
 
     # validity:
     #  - the kx candidate box covers the support radius around x*,
@@ -393,8 +401,7 @@ def _grad_kernel(
     n_cg = C // 8
     for r in range(TILE_H):
         woy = woy_ref[0, 0, r, xb]
-        base = base_ref[0, 0, r, xb]
-        shift = pcp - base
+        base = base_ref[0, 0, r, xb]  # multiple of 128 (plan_grad)
 
         xa_r = xa[r : r + 1]
         q_r = q_out[r : r + 1]
@@ -407,16 +414,25 @@ def _grad_kernel(
             in_img = (row_abs >= 0) & (row_abs <= H - 1)
             yc_f = row_abs.astype(jnp.float32)
 
-            # rolled window rows, shared across the candidate-column loop
-            rolled0, rolled1 = [], []
+            # 256-lane window rows at the 128-aligned base, shared across
+            # the candidate-column loop; taps resolve with two clipped
+            # vreg-local gathers + a select (rolls were ~7x slower)
+            win0, win1 = [], []
             for cg in range(n_cg):
-                p0row = patch0[slot, woy + ry, pl.ds(cg * 8, 8), :]
-                p1row = patch1[slot, woy + ry, pl.ds(cg * 8, 8), :]
                 if pcp > 128:
-                    p0row = pltpu.roll(p0row, shift=shift, axis=1)[:, :128]
-                    p1row = pltpu.roll(p1row, shift=shift, axis=1)[:, :128]
-                rolled0.append(p0row)
-                rolled1.append(p1row)
+                    p0row = patch0[
+                        slot, woy + ry, pl.ds(cg * 8, 8),
+                        pl.ds(pl.multiple_of(base, 128), 256),
+                    ]
+                    p1row = patch1[
+                        slot, woy + ry, pl.ds(cg * 8, 8),
+                        pl.ds(pl.multiple_of(base, 128), 256),
+                    ]
+                else:
+                    p0row = patch0[slot, woy + ry, pl.ds(cg * 8, 8), :]
+                    p1row = patch1[slot, woy + ry, pl.ds(cg * 8, 8), :]
+                win0.append(p0row)
+                win1.append(p1row)
 
             for dx0 in range(0, kx, 2):
                 xcand0 = xa_r + dx0
@@ -434,16 +450,35 @@ def _grad_kernel(
                 wP0 = jnp.where(par0_odd, w1, w0)
                 wP1 = jnp.where(par0_odd, w0, w1)
 
-                i0 = jnp.broadcast_to(
-                    jnp.clip(kP0 - (px0 + base), 0, 127), (8, TILE_W)
-                )
-                i1 = jnp.broadcast_to(
-                    jnp.clip(kP1 - (px0 + base), 0, 127), (8, TILE_W)
-                )
+                i0 = kP0 - (px0 + base)
+                i1 = kP1 - (px0 + base)
+                if pcp > 128:
+                    s0 = jnp.broadcast_to(i0 < 128, (8, TILE_W))
+                    s1 = jnp.broadcast_to(i1 < 128, (8, TILE_W))
+                    i0_hi = jnp.broadcast_to(
+                        jnp.clip(i0 - 128, 0, 127), (8, TILE_W)
+                    )
+                    i1_hi = jnp.broadcast_to(
+                        jnp.clip(i1 - 128, 0, 127), (8, TILE_W)
+                    )
+                i0_lo = jnp.broadcast_to(jnp.clip(i0, 0, 127), (8, TILE_W))
+                i1_lo = jnp.broadcast_to(jnp.clip(i1, 0, 127), (8, TILE_W))
 
                 for cg in range(n_cg):
-                    v0 = jnp.take_along_axis(rolled0[cg], i0, axis=1)
-                    v1 = jnp.take_along_axis(rolled1[cg], i1, axis=1)
+                    if pcp > 128:
+                        v0 = jnp.where(
+                            s0,
+                            jnp.take_along_axis(win0[cg][:, :128], i0_lo, axis=1),
+                            jnp.take_along_axis(win0[cg][:, 128:], i0_hi, axis=1),
+                        )
+                        v1 = jnp.where(
+                            s1,
+                            jnp.take_along_axis(win1[cg][:, :128], i1_lo, axis=1),
+                            jnp.take_along_axis(win1[cg][:, 128:], i1_hi, axis=1),
+                        )
+                    else:
+                        v0 = jnp.take_along_axis(win0[cg], i0_lo, axis=1)
+                        v1 = jnp.take_along_axis(win1[cg], i1_lo, axis=1)
                     accs[cg] = accs[cg] + v0 * wP0 + v1 * wP1
 
         for cg in range(n_cg):
