@@ -125,6 +125,111 @@ class ConvBnReLU(nn.Module):
         return nn.relu(x) if self.relu else x
 
 
+class FlatConvBnReLU(nn.Module):
+    """ConvBnReLU computed in the flat block-Toeplitz layout
+    (ops/flat_conv.py): activations stay [N, H, nG, 128] so elementwise
+    BN/ReLU pay no channel tile-padding tax and the conv runs as dense
+    128x128 MXU matmuls. The parameter tree ('conv/kernel',
+    'bn/{scale,bias}' + batch_stats 'bn/{mean,var}') is IDENTICAL to
+    ConvBnReLU, so checkpoints and the torch importer are unchanged.
+
+    Call with the flat tensor plus its logical geometry; returns the flat
+    output (use ops.flat_conv.unpack_flat at stack end).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    pad: int = 1
+    relu: bool = True
+    dtype: Any = None
+    ci: int = 8          # logical input channels (pre-padding)
+    ci_pad: int | None = None
+
+    @nn.compact
+    def __call__(self, xf, W_valid: int, H_out: int, train: bool = False):
+        from ..ops.flat_conv import (
+            flat_channel_stats, flat_channel_vec, mask_tail, toeplitz_conv2d,
+            toeplitz_weights,
+        )
+
+        cp = self.ci_pad or self.ci
+        co = self.features
+        kernel = _ParamHolder(
+            (self.kernel_size, self.kernel_size, self.ci, co), name="conv"
+        )()
+        dtype = self.dtype or xf.dtype
+        wb = toeplitz_weights(
+            kernel.astype(jnp.float32), self.stride, self.pad, ci_pad=cp
+        )
+        yf = toeplitz_conv2d(xf.astype(dtype), wb.astype(dtype),
+                             self.stride, self.pad, H_out)
+
+        # BatchNorm with torch semantics (eps 1e-5, running momentum 0.1)
+        bn = _FlatBatchNormParams(co, name="bn")
+        scale, bias, ra_mean, ra_var = bn()
+        Wo = (W_valid + 2 * self.pad - self.kernel_size) // self.stride + 1
+        if train:
+            # batch stats must exclude the zeroed tail columns: sums over
+            # the masked tensor are exact; rescale the /n_all moments to
+            # the valid count (zeros contribute nothing to S1/S2)
+            yf = mask_tail(yf, co, Wo)
+            mean_all, var_all = flat_channel_stats(yf, co)
+            n_all = yf.shape[0] * yf.shape[1] * yf.shape[2] * (128 // co)
+            n_valid = yf.shape[0] * yf.shape[1] * Wo
+            corr = n_all / n_valid
+            mean = mean_all * corr
+            var = (var_all + mean_all * mean_all) * corr - mean * mean
+            if not self.is_initializing():
+                # flax-style biased running var (see test_train_mode_bn_stats_update)
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = scale * lax.rsqrt(var + 1e-5)
+        s_l = flat_channel_vec(inv, co).astype(dtype)
+        b_l = flat_channel_vec(bias - mean * inv, co).astype(dtype)
+        yf = yf * s_l + b_l
+        return nn.relu(yf) if self.relu else yf
+
+
+class _ParamHolder(nn.Module):
+    """Creates 'kernel' (and optional 'bias') with nn.Conv's initializers
+    under a chosen submodule name, so flat paths share trees with nn.Conv."""
+
+    shape: tuple
+    with_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape,
+                       jnp.float32)
+        if self.with_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.shape[-1],),
+                           jnp.float32)
+            return k, b
+        return k
+
+
+class _FlatBatchNormParams(nn.Module):
+    """BatchNorm params/stats with flax's names ('scale','bias' params;
+    'mean','var' batch_stats) for flat-layout normalization."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros,
+                                None, (self.features,), jnp.float32)
+        ra_var = self.variable("batch_stats", "var", nn.initializers.ones,
+                               None, (self.features,), jnp.float32)
+        return scale, bias, ra_mean, ra_var
+
+
 class DecomposedConv3d(nn.Module):
     """3x3x3 conv (padding 1, optional bias) computed as shifted 2D convs
     (see conv3d_k3_decomposed). Parameter layout matches nn.Conv

@@ -43,6 +43,10 @@ class MVSNet(nn.Module):
         bound peak HBM at large eval resolutions (None = all planes at once).
       use_pallas_regression: dispatch the fused Pallas TPU kernel for
         softmax regression + confidence instead of the XLA composite.
+      flat_features: run FeatureNet in the flat block-Toeplitz layout
+        (ops/flat_conv.py) — dense 128-channel convs with no tile-padding
+        tax, ~2x on TPU. Same parameter tree; exact up to contraction
+        order (works in train and eval, differentiable).
       pallas_sweep_env: (yspan, pr, pcp) static window envelope — dispatch
         the fused Pallas plane-sweep variance kernel
         (ops/pallas/sweep_variance.py) on the bf16 eval path, with a
@@ -69,6 +73,7 @@ class MVSNet(nn.Module):
     refine: bool = False
     depth_chunk: Optional[int] = None
     use_pallas_regression: bool = False
+    flat_features: bool = False
     pallas_sweep_env: Optional[tuple[int, int, int]] = None
     pallas_grad_env: Optional[tuple[int, int, int, int]] = None
     dtype: Any = None
@@ -77,7 +82,9 @@ class MVSNet(nn.Module):
     remat: bool = False
 
     def setup(self):
-        self.feature = FeatureNet(dtype=self.dtype)
+        # flat=True runs the extractor in the block-Toeplitz layout
+        # (ops/flat_conv.py — ~2x on TPU, identical param tree)
+        self.feature = FeatureNet(dtype=self.dtype, flat=self.flat_features)
         # static_argnums=(2,): (self, x, train) — train flips the BN branch
         cost_reg_cls = (
             nn.remat(CostRegNet, static_argnums=(2,)) if self.remat else CostRegNet

@@ -81,6 +81,7 @@ def bench_forward(name, V, H, W, D, projs, dv, iters=5, warmup=2):
         dtype=jnp.bfloat16 if on_tpu else None,
         depth_chunk=48 if (on_tpu and D % 48 == 0) else None,
         use_pallas_regression=on_tpu,
+        flat_features=on_tpu,
         pallas_sweep_env=sweep_env,
     )
     rng = np.random.RandomState(0)

@@ -68,6 +68,10 @@ parser.add_argument("--pallas_grad", action="store_true",
                          "inverse-warp Pallas TPU kernel (no scatter-add); "
                          "the window envelope is planned from the first "
                          "training sample with margin")
+parser.add_argument("--flat_features", action="store_true",
+                    help="run FeatureNet in the flat block-Toeplitz layout "
+                         "(ops/flat_conv.py, ~2x on TPU; same param tree, "
+                         "exact up to contraction order)")
 parser.add_argument("--img_cache", default=None,
                     help="directory for a pre-decoded image cache; "
                          "multi-epoch training re-decodes the same PNGs "
@@ -143,6 +147,7 @@ def main() -> None:
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
         remat=args.remat,
         pallas_grad_env=grad_env,
+        flat_features=args.flat_features,
     )
 
     trainer = Trainer(
