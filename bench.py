@@ -68,6 +68,7 @@ def main():
         depth_chunk=48 if on_tpu else None,
         use_pallas_regression=on_tpu,
         flat_features=on_tpu,
+        flat_costreg=on_tpu,
         pallas_sweep_env=sweep_env,
     )
 

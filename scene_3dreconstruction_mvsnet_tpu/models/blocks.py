@@ -167,30 +167,133 @@ class FlatConvBnReLU(nn.Module):
 
         # BatchNorm with torch semantics (eps 1e-5, running momentum 0.1)
         bn = _FlatBatchNormParams(co, name="bn")
-        scale, bias, ra_mean, ra_var = bn()
         Wo = (W_valid + 2 * self.pad - self.kernel_size) // self.stride + 1
-        if train:
-            # batch stats must exclude the zeroed tail columns: sums over
-            # the masked tensor are exact; rescale the /n_all moments to
-            # the valid count (zeros contribute nothing to S1/S2)
-            yf = mask_tail(yf, co, Wo)
-            mean_all, var_all = flat_channel_stats(yf, co)
-            n_all = yf.shape[0] * yf.shape[1] * yf.shape[2] * (128 // co)
-            n_valid = yf.shape[0] * yf.shape[1] * Wo
-            corr = n_all / n_valid
-            mean = mean_all * corr
-            var = (var_all + mean_all * mean_all) * corr - mean * mean
-            if not self.is_initializing():
-                # flax-style biased running var (see test_train_mode_bn_stats_update)
-                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
-                ra_var.value = 0.9 * ra_var.value + 0.1 * var
-        else:
-            mean, var = ra_mean.value, ra_var.value
-        inv = scale * lax.rsqrt(var + 1e-5)
-        s_l = flat_channel_vec(inv, co).astype(dtype)
-        b_l = flat_channel_vec(bias - mean * inv, co).astype(dtype)
-        yf = yf * s_l + b_l
-        return nn.relu(yf) if self.relu else yf
+        return _flat_bn_relu(
+            yf, co, Wo, train, bn(), self.is_initializing(), self.relu, dtype
+        )
+
+
+def _flat_bn_relu(yf, co, Wo, train, bn_vars, is_init, relu, dtype):
+    """Shared flat-layout BatchNorm(+ReLU): torch eps/momentum, flax-style
+    biased running var (see test_train_mode_bn_stats_update). Rank-agnostic
+    over [..., nG, 128]. Train-mode batch stats exclude the zeroed tail
+    columns: sums over the masked tensor are exact, so the /n_all moments
+    rescale to the valid count."""
+    import math
+
+    from ..ops.flat_conv import (
+        flat_channel_stats, flat_channel_vec, mask_tail,
+    )
+
+    scale, bias, ra_mean, ra_var = bn_vars
+    if train:
+        yf = mask_tail(yf, co, Wo)
+        mean_all, var_all = flat_channel_stats(yf, co)
+        n_all = math.prod(yf.shape[:-1]) * (128 // co)
+        n_valid = math.prod(yf.shape[:-2]) * Wo
+        corr = n_all / n_valid
+        mean = mean_all * corr
+        var = (var_all + mean_all * mean_all) * corr - mean * mean
+        if not is_init:
+            ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+            ra_var.value = 0.9 * ra_var.value + 0.1 * var
+    else:
+        mean, var = ra_mean.value, ra_var.value
+    inv = scale * lax.rsqrt(var + 1e-5)
+    s_l = flat_channel_vec(inv, co).astype(dtype)
+    b_l = flat_channel_vec(bias - mean * inv, co).astype(dtype)
+    yf = yf * s_l + b_l
+    return nn.relu(yf) if relu else yf
+
+
+class FlatConvBnReLU3D(nn.Module):
+    """ConvBnReLU3D (k=3, pad=1) on a flat volume [B, D, H, nG, 128] — the
+    2D-decomposed 3D conv with flat block-Toeplitz 2D convs. Same param
+    tree as ConvBnReLU3D's k3 path ('conv/kernel' [3,3,3,I,O] + 'bn/...')."""
+
+    features: int
+    stride: int = 1
+    relu: bool = True
+    dtype: Any = None
+    ci: int = 8
+    ci_pad: int | None = None
+
+    @nn.compact
+    def __call__(self, xf, W_valid: int, train: bool = False):
+        from ..ops.flat_conv import flat_conv3d_k3_decomposed
+
+        kernel = _ParamHolder(
+            (3, 3, 3, self.ci, self.features), name="conv"
+        )()
+        dtype = self.dtype or xf.dtype
+        yf = flat_conv3d_k3_decomposed(
+            xf.astype(dtype), kernel.astype(dtype),
+            self.stride, W_valid, ci_pad=self.ci_pad,
+        )
+        bn = _FlatBatchNormParams(self.features, name="bn")
+        Wo = (W_valid + 2 - 3) // self.stride + 1
+        return _flat_bn_relu(
+            yf, self.features, Wo, train, bn(), self.is_initializing(),
+            self.relu, dtype,
+        )
+
+
+class FlatConvTransposeBnReLU3D(nn.Module):
+    """ConvTransposeBnReLU3D on a flat volume — flat transpose convs with
+    the same correlation-DHWIO 'kernel' param + 'bn/...' tree."""
+
+    features: int
+    relu: bool = True
+    dtype: Any = None
+    ci: int = 8
+
+    @nn.compact
+    def __call__(self, xf, W_valid: int, train: bool = False):
+        from ..ops.flat_conv import flat_conv3d_transpose_k3s2
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 3, self.ci, self.features), jnp.float32,
+        )
+        dtype = self.dtype or xf.dtype
+        yf = flat_conv3d_transpose_k3s2(
+            xf.astype(dtype), kernel.astype(dtype), W_valid
+        )
+        bn = _FlatBatchNormParams(self.features, name="bn")
+        return _flat_bn_relu(
+            yf, self.features, 2 * W_valid, train, bn(),
+            self.is_initializing(), self.relu, dtype,
+        )
+
+
+class FlatDecomposedConv3d(nn.Module):
+    """DecomposedConv3d (k=3, pad=1, optional bias) on a flat volume; same
+    'kernel'/'bias' params."""
+
+    features: int
+    stride: int = 1
+    use_bias: bool = False
+    dtype: Any = None
+    ci: int = 8
+
+    @nn.compact
+    def __call__(self, xf, W_valid: int):
+        from ..ops.flat_conv import flat_channel_vec, flat_conv3d_k3_decomposed
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 3, self.ci, self.features), jnp.float32,
+        )
+        dtype = self.dtype or xf.dtype
+        yf = flat_conv3d_k3_decomposed(
+            xf.astype(dtype), kernel.astype(dtype), self.stride, W_valid
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            yf = yf + flat_channel_vec(bias, self.features).astype(dtype)
+        return yf
 
 
 class _ParamHolder(nn.Module):

@@ -5,6 +5,14 @@ Architecture parity with /root/reference/models/mvsnet.py:33-73: encoder
 ConvTranspose3d(+BN+ReLU) stages with additive skip connections, final plain
 conv3d to 1 channel (with bias). Input [B, D, H, W, 32] (channels-last cost
 volume) -> [B, D, H, W, 1].
+
+``flat=True`` runs the whole U-Net in the flat block-Toeplitz layout
+(ops/flat_conv.py): the volume packs once at entry, every conv is a dense
+128-channel conv over (H, nG) (D handled by the same shift decomposition),
+BN/ReLU/skip-adds act on unpadded lanes, and the 1-channel prob head
+unpacks for free (C_out=1 flat IS the pixel layout). Block counts line up
+across skips because every stage satisfies C_out*P_out == 128. Same param
+tree as flat=False.
 """
 
 from __future__ import annotations
@@ -14,15 +22,25 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import ConvBnReLU3D, ConvTransposeBnReLU3D, DecomposedConv3d
+from .blocks import (
+    ConvBnReLU3D,
+    ConvTransposeBnReLU3D,
+    DecomposedConv3d,
+    FlatConvBnReLU3D,
+    FlatConvTransposeBnReLU3D,
+    FlatDecomposedConv3d,
+)
 
 
 class CostRegNet(nn.Module):
     dtype: Any = None
+    flat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = self.dtype
+        if self.flat:
+            return self._flat(x, train)
         conv0 = ConvBnReLU3D(8, dtype=d, name="conv0")(x, train)
         conv1 = ConvBnReLU3D(16, stride=2, dtype=d, name="conv1")(conv0, train)
         conv2 = ConvBnReLU3D(16, dtype=d, name="conv2")(conv1, train)
@@ -35,3 +53,47 @@ class CostRegNet(nn.Module):
         x = conv0 + ConvTransposeBnReLU3D(8, dtype=d, name="conv11")(x, train)
         x = DecomposedConv3d(1, stride=1, use_bias=True, dtype=d, name="prob")(x)
         return x
+
+    def _flat(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        from ..ops.flat_conv import mask_tail, pack_flat, unpack_flat
+
+        d = self.dtype
+        B, D, H, W, C = x.shape
+        dtype = d or x.dtype
+        xf, _ = pack_flat(x.reshape(B * D, H, W, C).astype(dtype))
+        xf = mask_tail(xf, C, W).reshape(B, D, H, xf.shape[-2], 128)
+
+        def cbr(name, co, s, ci, inp, Wi):
+            Wo = (Wi + 2 - 3) // s + 1
+            y = FlatConvBnReLU3D(co, stride=s, dtype=d, ci=ci, name=name)(
+                inp, Wi, train
+            )
+            return mask_tail(y, co, Wo), Wo
+
+        conv0, W0 = cbr("conv0", 8, 1, 32, xf, W)
+        conv1, W1 = cbr("conv1", 16, 2, 8, conv0, W0)
+        conv2, W2 = cbr("conv2", 16, 1, 16, conv1, W1)
+        conv3, W3 = cbr("conv3", 32, 2, 16, conv2, W2)
+        conv4, W4 = cbr("conv4", 32, 1, 32, conv3, W3)
+        conv5, W5 = cbr("conv5", 64, 2, 32, conv4, W4)
+        xf, W6 = cbr("conv6", 64, 1, 64, conv5, W5)
+
+        def tbr(name, co, ci, inp, Wi):
+            y = FlatConvTransposeBnReLU3D(co, dtype=d, ci=ci, name=name)(
+                inp, Wi, train
+            )
+            return mask_tail(y, co, 2 * Wi), 2 * Wi
+
+        up, Wu = tbr("conv7", 32, 64, xf, W6)
+        xf = conv4 + up
+        up, Wu = tbr("conv9", 16, 32, xf, Wu)
+        xf = conv2 + up
+        up, Wu = tbr("conv11", 8, 16, xf, Wu)
+        xf = conv0 + up
+
+        xf = FlatDecomposedConv3d(1, use_bias=True, dtype=d, ci=8,
+                                  name="prob")(xf, Wu)
+        # C_out == 1: flat lanes ARE pixels
+        nG = xf.shape[-2]
+        out = unpack_flat(xf.reshape(B * D, H, nG, 128), 1, Wu)
+        return out.reshape(B, D, H, Wu, 1)

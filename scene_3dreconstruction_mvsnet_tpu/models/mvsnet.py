@@ -74,6 +74,7 @@ class MVSNet(nn.Module):
     depth_chunk: Optional[int] = None
     use_pallas_regression: bool = False
     flat_features: bool = False
+    flat_costreg: bool = False
     pallas_sweep_env: Optional[tuple[int, int, int]] = None
     pallas_grad_env: Optional[tuple[int, int, int, int]] = None
     dtype: Any = None
@@ -89,7 +90,9 @@ class MVSNet(nn.Module):
         cost_reg_cls = (
             nn.remat(CostRegNet, static_argnums=(2,)) if self.remat else CostRegNet
         )
-        self.cost_regularization = cost_reg_cls(dtype=self.dtype)
+        self.cost_regularization = cost_reg_cls(
+            dtype=self.dtype, flat=self.flat_costreg
+        )
         if self.refine:
             self.refine_network = RefineNet(dtype=self.dtype)
 

@@ -112,18 +112,171 @@ def toeplitz_conv2d(xf: jnp.ndarray, wb: jnp.ndarray, stride: int,
     )
 
 
-def mask_tail(xf: jnp.ndarray, C: int, W_valid: int) -> jnp.ndarray:
-    """Zero the columns past ``W_valid`` in the last block. Needed between
-    chained flat convs when W doesn't fill a whole number of blocks —
-    otherwise boundary garbage from the padded tail feeds the next layer."""
+def toeplitz_weights_general(w: jnp.ndarray, stride: int, pad: int,
+                             up: int = 1, ci_pad: int | None = None):
+    """General banded block weights: supports any block-stride (C_out !=
+    stride * C_in) and input dilation ``up`` (transposed convs).
+
+    w: [kh, kw, Ci, Co]. Returns (wb [kh, kb, 128, 128], sb, pb) for
+    lax.conv over (H, nG) with window_strides (stride_h, sb) and block
+    padding (pb, right-computed by the caller). Entry semantics: output
+    pixel po of block g sums w[., dx] * x[(g*Po*stride + po*stride - pad
+    + dx) / up] for in-range, up-divisible taps — the dilated-input
+    correlation that lax.conv_general_dilated(lhs_dilation=up) computes.
+    """
+    kh, kw, Ci, Co = w.shape
+    cp = ci_pad or Ci
+    if cp > Ci:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cp - Ci), (0, 0)))
+        Ci = cp
+    Pi, Po = LANES // Ci, LANES // Co
+    if (Po * stride) % (Pi * up):
+        raise ValueError(
+            f"block invariance needs Pi*up | Po*stride (Pi={Pi}, Po={Po}, "
+            f"stride={stride}, up={up})"
+        )
+    sb = (Po * stride) // (Pi * up)
+
+    entries = []  # (bo, pi, dx, po)
+    bo_min, bo_max = 0, 0
+    for po in range(Po):
+        for dx in range(kw):
+            i_up = po * stride - pad + dx
+            if i_up % up:
+                continue
+            i_rel = i_up // up
+            bo = i_rel // Pi
+            pi = i_rel - bo * Pi
+            entries.append((bo, pi, dx, po))
+            bo_min = min(bo_min, bo)
+            bo_max = max(bo_max, bo)
+    pb = -bo_min
+    kb = bo_max + pb + 1
+
+    # constant routing tensor (built at trace time) + one einsum, instead
+    # of per-entry scatters that would bloat the traced graph
+    T = np.zeros((kb, Pi, Po, kw), w.dtype if w.dtype != jnp.bfloat16 else np.float32)
+    for bo, pi, dx, po in entries:
+        T[bo + pb, pi, po, dx] = 1.0
+    wb = jnp.einsum(
+        "bipd,hdco->hbicpo", jnp.asarray(T), w,
+        precision=lax.Precision.HIGHEST,
+    )  # [kh, kb, Pi, Ci, Po, Co]
+    return wb.reshape(kh, kb, LANES, LANES), sb, pb
+
+
+def flat_conv2d_general(xf: jnp.ndarray, wb: jnp.ndarray, sb: int, pb: int,
+                        stride_h: int, pad_h, nGo: int, H_out: int,
+                        up: int = 1) -> jnp.ndarray:
+    """Apply general banded weights over (H, nG). ``pad_h`` is (lo, hi) or
+    int; ``up`` dilates H (transpose convs dilate H natively here, W via
+    the banded build). Output [N, H_out, nGo, 128]."""
+    kh, kb = wb.shape[0], wb.shape[1]
     N, H, nG, _ = xf.shape
+    if isinstance(pad_h, int):
+        pad_h = (pad_h, pad_h)
+    # right block padding so exactly nGo output blocks are produced
+    pr = (nGo - 1) * sb + kb - nG - pb
+    out = lax.conv_general_dilated(
+        xf, wb.astype(xf.dtype),
+        window_strides=(stride_h, sb),
+        padding=[pad_h, (pb, max(pr, 0))],
+        lhs_dilation=(up, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    assert out.shape[1] == H_out and out.shape[2] >= nGo, (out.shape, H_out, nGo)
+    return out[:, :, :nGo]
+
+
+def mask_tail(xf: jnp.ndarray, C: int, W_valid: int) -> jnp.ndarray:
+    """Zero the columns past ``W_valid`` in the last block (axis -2). Needed
+    between chained flat convs when W doesn't fill a whole number of blocks
+    — otherwise boundary garbage from the padded tail feeds the next
+    layer. Rank-agnostic: [..., nG, 128]."""
+    nG = xf.shape[-2]
     P = LANES // C
     tail_px = W_valid - (nG - 1) * P
     if tail_px >= P:
         return xf
     lane_px = np.arange(LANES) // C
     mask = jnp.asarray(lane_px < tail_px, xf.dtype)
-    return jnp.concatenate([xf[:, :, :-1], xf[:, :, -1:] * mask], axis=2)
+    return jnp.concatenate(
+        [xf[..., :-1, :], xf[..., -1:, :] * mask], axis=-2
+    )
+
+
+def _flat2d_folded(xf, wb, sb, pb, stride_h, pad_h, nGo, H_out, up=1):
+    """flat_conv2d_general over [B, D, H, nG, 128] with (B, D) folded."""
+    B, D, H, nG, L = xf.shape
+    y = flat_conv2d_general(
+        xf.reshape(B * D, H, nG, L), wb, sb, pb, stride_h, pad_h, nGo,
+        H_out, up,
+    )
+    return y.reshape(B, D, H_out, nGo, L)
+
+
+def _shift_d(y, direction):
+    zero = jnp.zeros_like(y[:, :1])
+    if direction > 0:
+        return jnp.concatenate([zero, y[:, :-1]], axis=1)
+    return jnp.concatenate([y[:, 1:], zero], axis=1)
+
+
+def flat_conv3d_k3_decomposed(xf: jnp.ndarray, kernel: jnp.ndarray,
+                              stride: int, W_valid: int,
+                              ci_pad: int | None = None) -> jnp.ndarray:
+    """3x3x3 conv (padding 1) on a flat volume [B, D, H, nG, 128] — the
+    D-decomposed scheme of models/blocks.py::conv3d_k3_decomposed with the
+    2D convs in flat block-Toeplitz form. kernel: [3, 3, 3, I, O] DHWIO."""
+    O = kernel.shape[4]
+    B, D, H, nG, _ = xf.shape
+    Ho = (H + 2 - 3) // stride + 1
+    Wo = (W_valid + 2 - 3) // stride + 1
+    nGo = -(-Wo // (LANES // O))
+    wbs = [
+        toeplitz_weights_general(kernel[kd], stride, 1, ci_pad=ci_pad)
+        for kd in range(3)
+    ]
+
+    def c2d(x5, kd):
+        wb, sb, pb = wbs[kd]
+        return _flat2d_folded(x5, wb.astype(x5.dtype), sb, pb, stride, 1,
+                              nGo, Ho)
+
+    if stride == 1:
+        t0, t1, t2 = c2d(xf, 0), c2d(xf, 1), c2d(xf, 2)
+        return t1 + _shift_d(t0, +1) + _shift_d(t2, -1)
+    x_even = xf[:, 0::2]
+    x_odd = xf[:, 1::2]
+    a = c2d(x_even, 1)
+    b = c2d(x_odd, 0)
+    c = c2d(x_odd, 2)
+    return a + _shift_d(b, +1) + c
+
+
+def flat_conv3d_transpose_k3s2(xf: jnp.ndarray, kernel: jnp.ndarray,
+                               W_valid: int) -> jnp.ndarray:
+    """ConvTranspose3d(k=3, s=2, p=1, op=1) on a flat volume — the scheme of
+    models/blocks.py::conv3d_transpose_k3s2_decomposed with flat 2D
+    transpose convs (input dilation 2 folded into the banded weights on W,
+    native lhs_dilation on H). Output [B, 2D, 2H, nGo, 128]."""
+    O = kernel.shape[4]
+    B, D, H, nG, _ = xf.shape
+    H2, Wo = 2 * H, 2 * W_valid
+    nGo = -(-Wo // (LANES // O))
+    wbs = [
+        toeplitz_weights_general(kernel[kd], 1, 1, up=2) for kd in range(3)
+    ]
+
+    def t2d(x5, kd):
+        wb, sb, pb = wbs[kd]
+        return _flat2d_folded(x5, wb.astype(x5.dtype), sb, pb, 1, (1, 2),
+                              nGo, H2, up=2)
+
+    y_even = t2d(xf, 1)
+    y_odd = t2d(xf, 0) + _shift_d(t2d(xf, 2), -1)
+    out = jnp.stack([y_even, y_odd], axis=2)
+    return out.reshape(B, 2 * D, H2, nGo, LANES)
 
 
 def flat_channel_vec(v: jnp.ndarray, C: int) -> jnp.ndarray:
@@ -132,10 +285,10 @@ def flat_channel_vec(v: jnp.ndarray, C: int) -> jnp.ndarray:
 
 
 def flat_channel_stats(xf: jnp.ndarray, C: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-channel mean and variance over (N, H, W) of a flat tensor —
-    the lane->channel reduction runs as a [*, 128] @ [128, C] one-hot
-    matmul so no padded intermediate is formed. Returns (mean[C], var[C])."""
-    N, H, nG, _ = xf.shape
+    """Per-channel mean and variance over all non-channel axes of a flat
+    tensor [..., nG, 128] — the lane->channel reduction runs as a
+    [*, 128] @ [128, C] one-hot matmul so no padded intermediate is
+    formed. Returns (mean[C], var[C])."""
     P = LANES // C
     onehot = jnp.zeros((LANES, C), jnp.float32).at[
         jnp.arange(LANES), jnp.tile(jnp.arange(C), P)

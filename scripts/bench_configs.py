@@ -7,9 +7,9 @@ Configs (BASELINE.md):
                   5-view depth generation at 512x640, 192 planes
   4. bin_rig    — 4 low-cost B&W cameras (inward ring), 512x640, 192 planes
 
-Prints one JSON line per config. Forward throughput uses the same
-pre-placed-input pipelined method as bench.py; the filter number is the
-whole-scan single-launch filter averaged per reference view.
+Prints one JSON line per config. Forward throughput is the sustained
+in-jit scan (bench.py methodology); the filter number is the whole-scan
+single-launch filter averaged per reference view.
 """
 
 import json
@@ -82,6 +82,7 @@ def bench_forward(name, V, H, W, D, projs, dv, iters=5, warmup=2):
         depth_chunk=48 if (on_tpu and D % 48 == 0) else None,
         use_pallas_regression=on_tpu,
         flat_features=on_tpu,
+        flat_costreg=on_tpu,
         pallas_sweep_env=sweep_env,
     )
     rng = np.random.RandomState(0)
@@ -92,24 +93,26 @@ def bench_forward(name, V, H, W, D, projs, dv, iters=5, warmup=2):
 
     import jax as _jax
 
+    # sustained in-jit scan (same methodology as bench.py): per-call
+    # dispatch over the remote-TPU tunnel pays ~27 ms client RTT that is
+    # not chip time — at the small configs that would halve the number
     @_jax.jit
-    def fwd(variables, imgs, proj, dv):
-        out = model.apply(variables, imgs, proj, dv, train=False)
-        return out["depth"], out["photometric_confidence"]
+    def sustained(variables, imgs, proj, dv):
+        def body(c, _):
+            out = model.apply(variables, imgs + c, proj, dv, train=False)
+            d = out["depth"]
+            return c + d.reshape(-1)[0] * 0, d.reshape(-1)[0]
+        _, outs = _jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return outs
 
-    def force(outs):
-        return [float(jnp.sum(o[0])) for o in outs]
-
-    n = max(warmup, iters)
-    inputs = [
-        _jax.device_put(jnp.asarray(imgs + np.float32(i) * 1e-4)) for i in range(n)
-    ]
-    _ = [float(jnp.sum(b)) for b in inputs]
-    force([fwd(variables, inputs[i], proj, dv_j) for i in range(warmup)])
-    t0 = time.time()
-    force([fwd(variables, inputs[i], proj, dv_j) for i in range(iters)])
-    sec = (time.time() - t0) / iters
-    return sec
+    imgs_d = _jax.device_put(jnp.asarray(imgs))
+    float(jnp.sum(sustained(variables, imgs_d, proj, dv_j)))  # compile+warm
+    best = float("inf")
+    for _ in range(max(2, warmup)):
+        t0 = time.time()
+        float(jnp.sum(sustained(variables, imgs_d, proj, dv_j)))
+        best = min(best, (time.time() - t0) / iters)
+    return best
 
 
 def bench_filter(name, n_views, H, W, projs, n_src, iters=3):

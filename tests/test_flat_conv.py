@@ -73,6 +73,49 @@ def test_flat_stack_two_layers():
     np.testing.assert_allclose(got, want, atol=1e-5 * scale)
 
 
+@pytest.mark.parametrize(
+    "H,W,ci,co,k,s,p,up",
+    [
+        (8, 48, 32, 8, 3, 1, 1, 1),    # CostRegNet conv0 (sb=4)
+        (8, 48, 8, 16, 3, 2, 1, 1),    # conv1 (s2)
+        (8, 48, 16, 16, 3, 1, 1, 1),   # conv2
+        (8, 48, 32, 64, 3, 2, 1, 1),   # conv5 (s2, Co=64)
+        (8, 48, 64, 64, 3, 1, 1, 1),   # conv6
+        (8, 48, 8, 1, 3, 1, 1, 1),     # prob head (Co=1, sb=8)
+        (8, 24, 64, 32, 3, 1, 1, 2),   # transpose conv7 (upsample)
+        (8, 24, 16, 8, 3, 1, 1, 2),    # transpose conv11
+    ],
+)
+def test_general_toeplitz_matches_lax_conv(H, W, ci, co, k, s, p, up):
+    from scene_3dreconstruction_mvsnet_tpu.ops.flat_conv import (
+        flat_conv2d_general, toeplitz_weights_general,
+    )
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, H, W, ci).astype(np.float32)
+    w = rng.randn(k, k, ci, co).astype(np.float32) / k
+    pad_hw = [(p, p)] * 2 if up == 1 else [(1, 2)] * 2  # transpose conv pads
+    want = np.asarray(
+        lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w), window_strides=(s, s),
+            padding=pad_hw, lhs_dilation=(up, up),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    )
+    Ho, Wo = want.shape[1], want.shape[2]
+
+    xf, _ = pack_flat(jnp.asarray(x))
+    pw = pad_hw[1][0] if up > 1 else p
+    wb, sb, pb = toeplitz_weights_general(jnp.asarray(w), s, pw, up=up)
+    Po = 128 // co
+    nGo = -(-Wo // Po)
+    yf = flat_conv2d_general(xf, wb, sb, pb, s, pad_hw[0], nGo, Ho, up=up)
+    got = np.asarray(unpack_flat(yf, co, Wo))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale)
+
+
 def test_flat_channel_helpers():
     rng = np.random.RandomState(2)
     x = rng.randn(2, 6, 32, 16).astype(np.float32)
