@@ -49,15 +49,21 @@ class MVSNet(nn.Module):
         order (works in train and eval, differentiable).
       pallas_sweep_env: (yspan, pr, pcp) static window envelope — dispatch
         the fused Pallas plane-sweep variance kernel
-        (ops/pallas/sweep_variance.py) on the bf16 eval path, with a
+        (ops/pallas/sweep_variance.py) on the bf16 path. At eval this has a
         traced-validity fallback to the XLA sweep for rigs that exceed the
-        envelope. Get it from ops.pallas.sweep_variance.suggest_envelope.
-        Inference-only (no VJP registered); training takes the XLA sweep.
+        envelope. Get it from ops.pallas.sweep_variance.suggest_envelope
+        (or ops.paired_sweep.suggest_family_envelopes for a rig family).
       pallas_grad_env: (kx, yspan, pr, pcp) — in training, route the warp's
         BACKWARD through the inverse-warp Pallas kernel
         (ops/pallas/warp_grad.py) instead of XLA's scatter-add transpose.
-        Get it from ops.pallas.warp_grad.suggest_grad_envelope; size over
-        the rig family with margin (the backward does not fall back).
+        When BOTH envelopes are set (and dtype is bf16), training uses the
+        fully paired custom_vjp (ops/paired_sweep.py): fused Pallas sweep
+        forward + inverse-warp Pallas backward, with the plan validity
+        surfaced as the ``plan_valid`` output for the Trainer to check
+        (neither kernel falls back inside the VJP). With only
+        pallas_grad_env set, training keeps the XLA sweep forward and swaps
+        in the Pallas backward per warp. Size envelopes over the rig family
+        (ops.paired_sweep.suggest_family_envelopes).
       dtype: computation dtype for the conv stacks (bf16 = TPU fast path;
         None = f32 for bit-parity eval). Params are always f32.
       align_corners: sampler convention; False matches the reference under
@@ -119,26 +125,49 @@ class MVSNet(nn.Module):
         # the variance subtraction stay f32 inside cost_volume_variance.
         sweep_dtype = self.dtype or jnp.float32
         # the fused Pallas sweep packs features as bf16 pairs, so it is only
-        # a faithful drop-in on the bf16 fast path, and it has no VJP
-        sweep_env = (
-            self.pallas_sweep_env
-            if (self.pallas_sweep_env is not None and sweep_dtype == jnp.bfloat16 and not train)
-            else None
+        # a faithful drop-in on the bf16 fast path
+        use_pallas_sweep = (
+            self.pallas_sweep_env is not None
+            and sweep_dtype == jnp.bfloat16
+            and not self.align_corners
         )
-        sweep = lambda f, p, d: cost_volume_variance(
-            f, p, d, depth_chunk=self.depth_chunk,
-            align_corners=self.align_corners, pallas_env=sweep_env,
-            grad_env=self.pallas_grad_env if train else None,
-        )
-        if self.remat:
-            # recompute the sweep in the backward pass instead of storing
-            # the warped footprints (saves several GB at training shapes)
-            sweep = jax.checkpoint(sweep)
-        volume = sweep(
-            feats.astype(sweep_dtype),
-            proj_matrices.astype(jnp.float32),
-            depth_values.astype(jnp.float32),
-        )
+        plan_valid = None
+        if train and use_pallas_sweep and self.pallas_grad_env is not None:
+            # paired training path: fused Pallas variance forward + inverse-
+            # warp Pallas backward in one custom_vjp (ops/paired_sweep.py).
+            # No fallback inside the VJP — plan_valid is surfaced as an aux
+            # output and checked every step by the Trainer.
+            from ..ops.paired_sweep import make_paired_cost_volume
+
+            paired = make_paired_cost_volume(
+                *self.pallas_sweep_env, *self.pallas_grad_env,
+                interpret=jax.default_backend() != "tpu",
+            )
+            volume, plan_valid = paired(
+                feats.astype(jnp.bfloat16),
+                proj_matrices.astype(jnp.float32),
+                depth_values.astype(jnp.float32),
+            )
+        else:
+            sweep_env = (
+                self.pallas_sweep_env
+                if (use_pallas_sweep and not train)
+                else None
+            )
+            sweep = lambda f, p, d: cost_volume_variance(
+                f, p, d, depth_chunk=self.depth_chunk,
+                align_corners=self.align_corners, pallas_env=sweep_env,
+                grad_env=self.pallas_grad_env if train else None,
+            )
+            if self.remat:
+                # recompute the sweep in the backward pass instead of storing
+                # the warped footprints (saves several GB at training shapes)
+                sweep = jax.checkpoint(sweep)
+            volume = sweep(
+                feats.astype(sweep_dtype),
+                proj_matrices.astype(jnp.float32),
+                depth_values.astype(jnp.float32),
+            )
         if self.dtype is not None:
             volume = volume.astype(self.dtype)
         if self.volume_sharding is not None:
@@ -159,6 +188,8 @@ class MVSNet(nn.Module):
         )
 
         outputs = {"depth": depth, "photometric_confidence": confidence}
+        if plan_valid is not None:
+            outputs["plan_valid"] = plan_valid
         if self.refine:
             outputs["refined_depth"] = self.refine_network(
                 imgs[:, 0], depth, train=train

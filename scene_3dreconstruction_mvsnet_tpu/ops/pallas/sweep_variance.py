@@ -70,6 +70,10 @@ class SweepPlan(NamedTuple):
     patch_x0p: jnp.ndarray  # [Vs, nYB*nXB] i32 pair-space origin (128-aligned)
     woy: jnp.ndarray       # [Vs, D, nYB, TILE_H, nXB] i32 window row offset
     base: jnp.ndarray      # [Vs, D, nYB, TILE_H, nXB] i32 pair-window base
+    single: jnp.ndarray    # [Vs, D, nYB, TILE_H, nXB] i32 1 = the row's taps
+    #                        all land in [base, base+128) — the kernel takes
+    #                        ONE vreg-local gather per tap instead of two
+    #                        clipped gathers + a lane select
     valid: jnp.ndarray     # [] bool — geometry fits the envelope
 
 
@@ -92,10 +96,17 @@ def _sample_coord(rot, trans, x, y, inv_d, W, H):
     return xe, ye
 
 
-def _corner_spans(src_proj, ref_proj, depth_values, H, W):
+def _corner_spans(src_proj, ref_proj, depth_values, H, W, with_den_ok=False):
     """[D, H, nXB] lo/hi tap bounds per (plane, row, x-block): x in PIXEL
     space, y in row space. Bounds are inclusive tap ranges (x0 min, x0+1
-    max)."""
+    max).
+
+    with_den_ok additionally returns a scalar bool: True iff the projective
+    denominator keeps a uniform sign (bounded away from zero) over every
+    evaluated corner. Corner evaluation bounds the tap span only while the
+    map is monotonic across a block; a denominator sign change (camera
+    crossing the plane at infinity inside the image) breaks that, so plans
+    must report invalid and force the XLA fallback."""
     nXB = -(-W // TILE_W)
     rot, trans = _coord_terms(src_proj, ref_proj)
     inv_d = (1.0 / depth_values).astype(jnp.float32)
@@ -114,7 +125,16 @@ def _corner_spans(src_proj, ref_proj, depth_values, H, W):
     x_hi = jnp.floor(jnp.max(xe, axis=-1)).astype(jnp.int32) + 1    # max x0+1
     y_lo = jnp.floor(jnp.min(ye, axis=-1)).astype(jnp.int32)
     y_hi = jnp.floor(jnp.max(ye, axis=-1)).astype(jnp.int32) + 1
-    return x_lo, x_hi, y_lo, y_hi
+    if not with_den_ok:
+        return x_lo, x_hi, y_lo, y_hi
+    den = (
+        rot[2, 0] * xs_edges[None, None]
+        + rot[2, 1] * ys[None, :, None, None]
+        + rot[2, 2]
+        + trans[2] * inv_d[:, None, None, None]
+    )
+    den_ok = jnp.all(den > 1e-6) | jnp.all(den < -1e-6)
+    return x_lo, x_hi, y_lo, y_hi, den_ok
 
 
 def suggest_envelope(src_projs, ref_proj, depth_values, height, width) -> dict:
@@ -123,14 +143,16 @@ def suggest_envelope(src_projs, ref_proj, depth_values, height, width) -> dict:
     envelope)."""
     H, W = height, width
     y_need, y_drift, x_drift_p = 0, 0, 0
-    for src_proj in np.asarray(src_projs).reshape(-1, 4, 4):
+    # planning is host-side math: jit it onto the CPU backend with NUMPY
+    # (uncommitted) inputs — eager op dispatch through the TPU tunnel costs
+    # a per-op compile, and axon->cpu transfers of committed arrays stall
+    cpu = jax.local_devices(backend="cpu")[0]
+    spans = jax.jit(functools.partial(_corner_spans, H=H, W=W))
+    ref_np = jax.device_put(np.asarray(ref_proj, np.float32), cpu)
+    dv_np = jax.device_put(np.asarray(depth_values, np.float32), cpu)
+    for src_proj in np.asarray(src_projs, np.float32).reshape(-1, 4, 4):
         x_lo, x_hi, y_lo, y_hi = map(
-            np.asarray,
-            _corner_spans(
-                jnp.asarray(src_proj, jnp.float32),
-                jnp.asarray(ref_proj, jnp.float32),
-                jnp.asarray(depth_values, jnp.float32), H, W,
-            ),
+            np.asarray, spans(jax.device_put(src_proj, cpu), ref_np, dv_np)
         )
         inter = (x_lo < W) & (x_hi > 0) & (y_lo < H) & (y_hi > 0)
         y_need = max(y_need, int(np.where(inter, y_hi - y_lo + 1, 0).max()))
@@ -172,7 +194,9 @@ def plan_sweep(
     big = jnp.iinfo(jnp.int32).max // 4
 
     def one_view(src_proj):
-        x_lo, x_hi, y_lo, y_hi = _corner_spans(src_proj, ref_proj, depth_values, H, W)
+        x_lo, x_hi, y_lo, y_hi, den_ok = _corner_spans(
+            src_proj, ref_proj, depth_values, H, W, with_den_ok=True
+        )
         p_lo = x_lo >> 1              # min pair tap (P1 min = x_lo>>1)
         p_hi = (x_hi + 1) >> 1        # max pair tap (P0 max = (x_hi+1)>>1)
 
@@ -204,6 +228,13 @@ def plan_sweep(
             ) * 128
         else:
             base = jnp.zeros_like(p_lo_b)
+        # single-window opportunism: most rows' pair span lands entirely in
+        # [base, base+128) after the 128-aligned flooring; those rows take
+        # half the gathers (one per tap, no clipped pair + select)
+        p_hi_b = banded(p_hi, mode="edge")
+        rel_lo = p_lo_b - patch_x0p[None, :, None, :] - base
+        rel_hi = p_hi_b - patch_x0p[None, :, None, :] - base
+        single = ((rel_lo >= 0) & (rel_hi <= 127)).astype(jnp.int32)
 
         # validity: spans fit the envelope and the patch covers every
         # in-image window of its tile
@@ -216,7 +247,6 @@ def plan_sweep(
             & (y_lo_q < H) & (y_lo_q + y_need > 0)
         )
         fits = (p_span <= 128) & (y_need <= yspan + 1)
-        p_hi_b = banded(p_hi, mode="edge")
         y_hi_b = banded(y_hi, mode="edge")
         covers = (
             (jnp.minimum(p_hi_b, Wp - 1) < patch_x0p[None, :, None, :] + pcp)
@@ -224,11 +254,12 @@ def plan_sweep(
             & (jnp.minimum(y_hi_b + 1, H - 1) < patch_y0[None, :, None, :] + pr)
             & (jnp.maximum(y_lo_b, 0) >= patch_y0[None, :, None, :])
         )
-        valid = jnp.all(jnp.where(intersects, fits & covers, True))
-        return patch_y0.reshape(-1), patch_x0p.reshape(-1), woy, base, valid
+        valid = jnp.all(jnp.where(intersects, fits & covers, True)) & den_ok
+        return (patch_y0.reshape(-1), patch_x0p.reshape(-1), woy, base,
+                single, valid)
 
-    py0, px0, woy, base, valid = jax.vmap(one_view)(src_projs)
-    return SweepPlan(py0, px0, woy, base, jnp.all(valid))
+    py0, px0, woy, base, single, valid = jax.vmap(one_view)(src_projs)
+    return SweepPlan(py0, px0, woy, base, single, jnp.all(valid))
 
 
 def plan_is_valid(src_projs, ref_proj, depth_values, height, width, **env) -> jnp.ndarray:
@@ -275,13 +306,12 @@ def _sweep_kernel(
     ref_blk,        # [TILE_H, 16, TILE_W] f32 packed ref tile (VMEM block)
     woy_ref,        # [Vs, 1, 1, TILE_H, nXB] SMEM block
     base_ref,       # [Vs, 1, 1, TILE_H, nXB] SMEM block
-    # outputs
-    out_ref,        # [1, TILE_H, 32, TILE_W] block (variance, [D,H,C,W] layout)
-    # scratch
-    patch0,         # [Vs, pr, 16, pcp] VMEM
-    patch1,         # [Vs, pr, 16, pcp] VMEM
-    sems,           # DMA semaphores [2*Vs]
-    *,
+    single_ref,     # [Vs, 1, 1, TILE_H, nXB] SMEM block (1 = one-window row)
+    # outputs (warps_ref only present when emit_warps)
+    *refs,          # out_ref [1, TILE_H, 32, TILE_W] variance block,
+                    # [warps_ref [Vs, 1, TILE_H, 32, TILE_W] per-view warps,]
+                    # patch0/patch1 [Vs, pr, 16, pcp] VMEM, wtmp [2,8,TILE_W],
+                    # sems [2*Vs]
     Vs: int,
     V: int,
     H: int,
@@ -290,7 +320,13 @@ def _sweep_kernel(
     yspan: int,
     pr: int,
     pcp: int,
+    emit_warps: bool,
 ):
+    if emit_warps:
+        out_ref, warps_ref, patch0, patch1, wtmp, sems = refs
+    else:
+        out_ref, patch0, patch1, wtmp, sems = refs
+        warps_ref = None
     yb = pl.program_id(0)
     xb = pl.program_id(1)
     d = pl.program_id(2)
@@ -397,7 +433,11 @@ def _sweep_kernel(
             wy0_r = w_y0[r : r + 1]
             wy1_r = w_y1[r : r + 1]
 
-            for cg in range(2):
+            def tap_loop(cg, one_window):
+                """Accumulate the (w_lo, w_hi) bilinear row sums for channel
+                group ``cg``. ``one_window``: all taps land in
+                [base, base+128) — one gather per tap, no clipped pair +
+                lane select (the plan's ``single`` bit guarantees it)."""
                 w_lo = zero8
                 w_hi = zero8
                 for ry in range(yspan):
@@ -405,7 +445,18 @@ def _sweep_kernel(
                     yw = jnp.where(y0l == ry, wy0_r, 0.0) + jnp.where(
                         y0l == ry - 1, wy1_r, 0.0
                     )
-                    if pcp > 128:
+                    if pcp > 128 and one_window:
+                        win0 = patch0[
+                            v, woy + ry, pl.ds(cg * 8, 8),
+                            pl.ds(pl.multiple_of(base, 128), 128),
+                        ]
+                        win1 = patch1[
+                            v, woy + ry, pl.ds(cg * 8, 8),
+                            pl.ds(pl.multiple_of(base, 128), 128),
+                        ]
+                        g0 = jnp.take_along_axis(win0, i0_lo, axis=1)
+                        g1 = jnp.take_along_axis(win1, i1_lo, axis=1)
+                    elif pcp > 128:
                         win0 = patch0[
                             v, woy + ry, pl.ds(cg * 8, 8),
                             pl.ds(pl.multiple_of(base, 128), 256),
@@ -435,10 +486,45 @@ def _sweep_kernel(
                     xhi = g0hi * wp0 + g1hi * wp1
                     w_lo = w_lo + xlo * yw
                     w_hi = w_hi + xhi * yw
+                return (
+                    jnp.broadcast_to(w_lo, (8, TILE_W)),
+                    jnp.broadcast_to(w_hi, (8, TILE_W)),
+                )
+
+            sg = single_ref[v, 0, 0, r, xb]
+            for cg in range(2):
+                if pcp > 128:
+                    # predicated variants share the wtmp scratch; exactly
+                    # one branch runs per (view, row)
+                    @pl.when(sg == 1)
+                    def _(cg=cg):
+                        w_lo, w_hi = tap_loop(cg, True)
+                        wtmp[0] = w_lo
+                        wtmp[1] = w_hi
+
+                    @pl.when(sg == 0)
+                    def _(cg=cg):
+                        w_lo, w_hi = tap_loop(cg, False)
+                        wtmp[0] = w_lo
+                        wtmp[1] = w_hi
+
+                    w_lo = wtmp[0]
+                    w_hi = wtmp[1]
+                else:
+                    w_lo, w_hi = tap_loop(cg, True)
                 acc_s[2 * cg] += w_lo
                 acc_q[2 * cg] += w_lo * w_lo
                 acc_s[2 * cg + 1] += w_hi
                 acc_q[2 * cg + 1] += w_hi * w_hi
+                if emit_warps:
+                    # channel-row layout mirrors the variance output:
+                    # lo half -> rows 0:16, hi half -> rows 16:32
+                    warps_ref[v, 0, r, pl.ds(8 * cg, 8), :] = w_lo.astype(
+                        warps_ref.dtype
+                    )
+                    warps_ref[v, 0, r, pl.ds(16 + 8 * cg, 8), :] = w_hi.astype(
+                        warps_ref.dtype
+                    )
 
         # variance = E[x^2] - E[x]^2; stream -> channel rows:
         # lo cg0 -> 0:8, lo cg1 -> 8:16, hi cg0 -> 16:24, hi cg1 -> 24:32
@@ -455,6 +541,7 @@ def _sweep_kernel(
     jax.jit,
     static_argnames=(
         "height", "width", "yspan", "pr", "pcp", "out_dtype", "interpret",
+        "emit_warps",
     ),
 )
 def sweep_variance_pallas(
@@ -468,13 +555,21 @@ def sweep_variance_pallas(
     pcp: int = PCP,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    emit_warps: bool = False,
 ):
-    """Fused multi-view plane-sweep variance -> ([D, H, W, C], valid).
+    """Fused multi-view plane-sweep variance -> ([D, H, W, C], valid), or
+    ([D, H, W, C], warps [Vs, D, H, W, C], valid) when ``emit_warps``.
 
     ``valid`` is a scalar bool; when False the result is undefined and the
     caller must use the XLA path (ops.plane_sweep.cost_volume_variance).
     Envelope kwargs come from suggest_envelope (static; one compile per
     envelope). Features are consumed in bf16 (the model's fast path).
+
+    ``emit_warps`` additionally writes each source view's warped volume
+    (the per-view bilinear samples the variance accumulates) — the values
+    already live in vector registers, so the only extra cost is the HBM
+    write. Used by the paired training path (ops/paired_sweep.py), whose
+    backward needs (w_v - mean) per view.
     """
     V, H, W, C = features.shape
     D = depth_values.shape[0]
@@ -505,8 +600,33 @@ def sweep_variance_pallas(
     refp = jnp.pad(refp, ((0, nYB * TILE_H - H), (0, 0), (0, nXB * TILE_W - W)))
 
     kernel = functools.partial(
-        _sweep_kernel, Vs=Vs, V=V, H=H, W=W, nXB=nXB, yspan=yspan, pr=pr, pcp=pcp
+        _sweep_kernel, Vs=Vs, V=V, H=H, W=W, nXB=nXB, yspan=yspan, pr=pr,
+        pcp=pcp, emit_warps=emit_warps,
     )
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((D, nYB * TILE_H, 32, nXB * TILE_W), out_dtype)
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, TILE_H, 32, TILE_W),
+            lambda yb, xb, d, *refs: (d, yb, 0, xb),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    if emit_warps:
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (Vs, D, nYB * TILE_H, 32, nXB * TILE_W), out_dtype
+            )
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (Vs, 1, TILE_H, 32, TILE_W),
+                lambda yb, xb, d, *refs: (0, d, yb, 0, xb),
+                memory_space=pltpu.VMEM,
+            )
+        )
 
     out = pl.pallas_call(
         kernel,
@@ -531,21 +651,21 @@ def sweep_variance_pallas(
                     lambda yb, xb, d, *refs: (0, d, yb, 0, 0),
                     memory_space=pltpu.SMEM,
                 ),
+                pl.BlockSpec(
+                    (Vs, 1, 1, TILE_H, nXB),
+                    lambda yb, xb, d, *refs: (0, d, yb, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
             ],
-            out_specs=pl.BlockSpec(
-                (1, TILE_H, 32, TILE_W),
-                lambda yb, xb, d, *refs: (d, yb, 0, xb),
-                memory_space=pltpu.VMEM,
-            ),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((Vs, pr, 16, pcp), jnp.float32),
                 pltpu.VMEM((Vs, pr, 16, pcp), jnp.float32),
+                pltpu.VMEM((2, 8, TILE_W), jnp.float32),
                 pltpu.SemaphoreType.DMA((2 * Vs,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (D, nYB * TILE_H, 32, nXB * TILE_W), out_dtype
-        ),
+        out_shape=out_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
@@ -561,6 +681,11 @@ def sweep_variance_pallas(
         refp,
         plan.woy.astype(jnp.int32),
         plan.base.astype(jnp.int32),
+        plan.single.astype(jnp.int32),
     )
     # [D, H, C, W] -> [D, H, W, C]
-    return jnp.transpose(out[:, :H, :, :W], (0, 1, 3, 2)), plan.valid
+    var = jnp.transpose(out[0][:, :H, :, :W], (0, 1, 3, 2))
+    if emit_warps:
+        warps = jnp.transpose(out[1][:, :, :H, :, :W], (0, 1, 2, 4, 3))
+        return var, warps, plan.valid
+    return var, plan.valid

@@ -119,6 +119,29 @@ def _support_bounds(src_proj, ref_proj, depth_values, H, W):
         )  # [H, nXB, 2, 3, 3] each (q-edge, q±1, p±1)
 
     x_all, y_all = jax.vmap(per_d)(inv_g)  # [D, H, nXB, 2, 3, 3]
+
+    # denominator sign uniformity: the corner-evaluated support bounds are
+    # exact only while each map is monotonic over the evaluated region; both
+    # denominators are AFFINE in the pixel coords per plane, so a uniform
+    # sign at the corners is exact over the whole image. A sign change
+    # (camera crossing the plane at infinity) must invalidate the plan.
+    iq = jnp.array([-1.0, float(W)], jnp.float32)  # support evals reach ±1
+    ip = jnp.array([-1.0, float(H)], jnp.float32)
+    inv_den = (
+        inv_g[:, 6, None, None] * iq[None, None, :]
+        + inv_g[:, 7, None, None] * ip[None, :, None]
+        + inv_g[:, 8, None, None]
+    )
+    fwd_den = (
+        G[:, 2, 0, None, None] * iq[None, None, :]
+        + G[:, 2, 1, None, None] * ip[None, :, None]
+        + G[:, 2, 2, None, None]
+    )
+
+    def _uniform(d):
+        return jnp.all(d > 1e-6) | jnp.all(d < -1e-6)
+
+    den_ok = _uniform(inv_den) & _uniform(fwd_den)
     x_lo = jnp.min(x_all, axis=(-3, -2, -1))
     x_hi = jnp.max(x_all, axis=(-3, -2, -1))
     y_lo = jnp.min(y_all, axis=(-3, -2, -1))
@@ -134,7 +157,7 @@ def _support_bounds(src_proj, ref_proj, depth_values, H, W):
         x_rad, jnp.max(jnp.abs(x_all[..., 2, 1] - x_star), axis=-1)
     )
     finite = (
-        jnp.all(jnp.isfinite(x_all)) & jnp.all(jnp.isfinite(y_all))
+        jnp.all(jnp.isfinite(x_all)) & jnp.all(jnp.isfinite(y_all)) & den_ok
     )
     return x_lo, x_hi, y_lo, y_hi, x_star_lo, x_star_hi, x_rad, finite
 
@@ -142,15 +165,17 @@ def _support_bounds(src_proj, ref_proj, depth_values, H, W):
 def suggest_grad_envelope(src_projs, ref_proj, depth_values, height, width) -> dict:
     """Host-side: (kx, yspan, pr, pcp) covering all source views of a rig."""
     H, W = height, width
-    dv = jnp.asarray(depth_values, jnp.float32)
     kx_need, yspan_need, ydrift, pspan = 2, 2, 2, 8
-    for src_proj in np.asarray(src_projs).reshape(-1, 4, 4):
+    # planning is host-side math: jit it onto the CPU backend with NUMPY
+    # (uncommitted) inputs — eager op dispatch through the TPU tunnel costs
+    # a per-op compile, and axon->cpu transfers of committed arrays stall
+    cpu = jax.local_devices(backend="cpu")[0]
+    bounds = jax.jit(functools.partial(_support_bounds, H=H, W=W))
+    ref_np = jax.device_put(np.asarray(ref_proj, np.float32), cpu)
+    dv_np = jax.device_put(np.asarray(depth_values, np.float32), cpu)
+    for src_proj in np.asarray(src_projs, np.float32).reshape(-1, 4, 4):
         x_lo, x_hi, y_lo, y_hi, xs_lo, xs_hi, x_rad, _f = map(
-            np.asarray,
-            _support_bounds(
-                jnp.asarray(src_proj, jnp.float32),
-                jnp.asarray(ref_proj, jnp.float32), dv, H, W,
-            ),
+            np.asarray, bounds(jax.device_put(src_proj, cpu), ref_np, dv_np)
         )
         kx_need = max(kx_need, 2 * (int(np.ceil(x_rad.max())) + 1))
         yspan_need = max(
@@ -590,8 +615,11 @@ def make_warp_with_pallas_grad(kx: int, yspan: int, pr: int, pcp: int,
     The backward runs the kernel UNCONDITIONALLY (a lax.cond fallback would
     degrade to running both branches under vmap/batching). Callers must
     size the envelope with suggest_grad_envelope over their rig family and
-    can monitor ``plan_grad(...).valid`` as a cheap in-graph health metric
-    (train/state.py wires it as the ``grad_plan_valid`` aux output)."""
+    monitor ``plan_grad(...).valid`` as a cheap in-graph health metric.
+    The paired training path (ops/paired_sweep.py — what MVSNet uses when
+    both Pallas envelopes are set) surfaces exactly that check as its
+    ``plan_valid`` output, which rides the train-step aux to the Trainer's
+    per-step validity check."""
     from ..sampling import warp_src_feature
 
     env = dict(kx=kx, yspan=yspan, pr=pr, pcp=pcp)

@@ -113,33 +113,49 @@ def cost_volume_variance(
     B, V, H, W, C = features.shape
     D = depth_values.shape[1]
 
-    if pallas_env is not None and B == 1 and C == 32 and not align_corners:
+    # dtype gate: the kernel packs features as bf16 pairs, so dispatching an
+    # f32 input would silently degrade precision — only take the kernel when
+    # the caller already computes in bf16 (the fast path)
+    if (
+        pallas_env is not None
+        and C == 32
+        and not align_corners
+        and features.dtype == jnp.bfloat16
+    ):
         from .pallas.sweep_variance import plan_is_valid, sweep_variance_pallas
 
         yspan, pr, pcp = pallas_env
         env = dict(yspan=yspan, pr=pr, pcp=pcp)
-        valid = plan_is_valid(
-            proj_matrices[0, 1:], proj_matrices[0, 0], depth_values[0], H, W, **env
-        )
 
-        def pallas_branch(feats, projs, dv):
-            out, _ = sweep_variance_pallas(
-                feats[0].astype(jnp.bfloat16), projs[0], dv[0],
-                out_dtype=feats.dtype,
-                # Mosaic only lowers on TPU; interpret elsewhere (CPU tests)
-                interpret=jax.default_backend() != "tpu",
-                **env,
-            )
-            return out[None]
+        def one(feats, projs, dv):
+            # unbatched [V,H,W,C] sample: per-sample traced validity with an
+            # in-graph XLA fallback (only one branch executes on TPU)
+            valid = plan_is_valid(projs[1:], projs[0], dv, H, W, **env)
 
-        def xla_branch(feats, projs, dv):
-            return cost_volume_variance(
-                feats, projs, dv, depth_chunk=depth_chunk,
-                align_corners=align_corners,
-            )
+            def pallas_branch(f, p, d):
+                out, _ = sweep_variance_pallas(
+                    f, p, d, out_dtype=f.dtype,
+                    # Mosaic only lowers on TPU; interpret elsewhere (CPU)
+                    interpret=jax.default_backend() != "tpu",
+                    **env,
+                )
+                return out
 
-        return jax.lax.cond(
-            valid, pallas_branch, xla_branch, features, proj_matrices, depth_values
+            def xla_branch(f, p, d):
+                return cost_volume_variance(
+                    f[None], p[None], d[None], depth_chunk=depth_chunk,
+                    align_corners=align_corners,
+                )[0]
+
+            return jax.lax.cond(valid, pallas_branch, xla_branch, feats, projs, dv)
+
+        if B == 1:
+            return one(features[0], proj_matrices[0], depth_values[0])[None]
+        # batched serving: sequential single-sample kernel launches inside
+        # one jit (device-side queue; the kernel grid is already big enough
+        # to saturate the chip per sample)
+        return jax.lax.map(
+            lambda t: one(*t), (features, proj_matrices, depth_values)
         )
 
     if depth_chunk is None or depth_chunk >= D:

@@ -72,12 +72,22 @@ class Trainer:
         save_freq: int = 1,
         seed: int = 1,
         num_workers: int = 4,
+        plan_check: str = "raise",
+        debug_mvsnet: int = 0,
     ) -> None:
         self.model = model
         self.logdir = logdir
         self.epochs = epochs
         self.summary_freq = summary_freq
         self.save_freq = save_freq
+        # --debug_MVSnet bitmask: the reference drives cv2 windows from the
+        # training forward (/root/reference/train.py:57-64); headless here,
+        # each summary-freq step dumps the selected stages as PNGs under
+        # <logdir>/debug_train/step<N>/debug/ (utils/debug_dump.py)
+        self.debug_mvsnet = int(debug_mvsnet)
+        if plan_check not in ("raise", "warn", "off"):
+            raise ValueError(f"plan_check must be raise/warn/off, got {plan_check}")
+        self.plan_check = plan_check
         os.makedirs(logdir, exist_ok=True)
 
         self.train_loader = Loader(
@@ -122,9 +132,36 @@ class Trainer:
     def load(self, path: str) -> None:
         self.state, _ = restore_checkpoint(path, self.state)
 
+    def _check_plan(self, plan_ok, epoch: int, batch_idx: int):
+        """Sync and verify the accumulated paired-sweep plan validity.
+
+        A False here means some batch since the last check had geometry
+        outside the planned kernel envelope, i.e. its gradients are NOT
+        trustworthy (the paired kernels never fall back): raise (default) or
+        warn per ``plan_check``. Returns the reset accumulator (None)."""
+        if plan_ok is None:
+            return None
+        if not bool(plan_ok):
+            msg = (
+                f"paired Pallas sweep plan INVALID at epoch {epoch}, around "
+                f"iter {batch_idx} (within the last summary window): a "
+                "batch's rig geometry exceeded the planned kernel envelope "
+                "and its gradients are untrustworthy. Re-plan envelopes "
+                "over the full rig family (suggest_family_envelopes with "
+                "more samples / larger margins) or disable the paired path."
+            )
+            if self.plan_check == "raise":
+                raise RuntimeError(msg)
+            print(f"WARNING: {msg}")
+        return None
+
     # -- loops ---------------------------------------------------------------
     def train(self) -> dict[str, float]:
         final_test: dict[str, float] = {}
+        # running AND of the paired-sweep plan validity (ops/paired_sweep.py);
+        # kept on device so it never forces a per-step host sync, checked at
+        # the summary cadence and at every epoch end
+        plan_ok = None
         for epoch in range(self.start_epoch, self.epochs):
             print(f"Epoch {epoch}:")
             steps = len(self.train_loader)
@@ -132,16 +169,37 @@ class Trainer:
                 t0 = time.time()
                 global_step = int(self.state.step)
                 self.state, aux = self.train_step(self.state, batch)
+                if "plan_valid" in aux and self.plan_check != "off":
+                    plan_ok = (
+                        aux["plan_valid"]
+                        if plan_ok is None
+                        else jax.numpy.logical_and(plan_ok, aux["plan_valid"])
+                    )
                 if global_step % self.summary_freq == 0:
+                    plan_ok = self._check_plan(plan_ok, epoch, batch_idx)
                     scalars = _scalars(aux)
                     self.logger.save_scalars("train", scalars, global_step)
                     self.logger.save_images("train", _images(aux, batch), global_step)
+                    if self.debug_mvsnet:
+                        from ..utils.debug_dump import debug_forward
+
+                        debug_forward(
+                            self.model, self.state.variables,
+                            batch["imgs"], batch["proj_matrices"],
+                            batch["depth_values"], self.debug_mvsnet,
+                            os.path.join(
+                                self.logdir, "debug_train",
+                                f"step{global_step:06d}",
+                            ),
+                        )
                     lr_now = float(self.schedule(global_step))
                     msg = ", ".join(f"{k}={v:.3f}" for k, v in scalars.items())
                     print(
                         f"Epoch {epoch}/{self.epochs}, Iter {batch_idx}/{steps}, "
                         f"LR:{lr_now:.2E}, {msg}, time={time.time() - t0:.3f}"
                     )
+
+            plan_ok = self._check_plan(plan_ok, epoch, steps - 1)
 
             if (epoch + 1) % self.save_freq == 0:
                 path = save_checkpoint(self.logdir, epoch, self.state)

@@ -95,6 +95,11 @@ def make_train_step(model) -> Callable:
         aux.update(depth_metrics(outputs["depth"], batch["depth"], batch["mask"]))
         aux["depth_est"] = outputs["depth"]
         aux["photometric_confidence"] = outputs["photometric_confidence"]
+        if "plan_valid" in outputs:
+            # paired Pallas sweep (ops/paired_sweep.py): the kernels do not
+            # fall back inside the VJP, so the traced plan validity rides
+            # out as a metric; the Trainer accumulates and checks it.
+            aux["plan_valid"] = outputs["plan_valid"]
         return new_state, aux
 
     return train_step

@@ -1,7 +1,14 @@
 """Time the training step at the full DTU recipe on one chip.
 
 Round-1: 32 s/step (XLA scatter-add backward + remat recompute).
-Usage: python scripts/bench_train_step.py [--xla] [--remat] [--batch N]
+Round-2: 0.46 s/step (XLA sweep forward + inverse-warp Pallas backward).
+Round-3: paired custom-VJP (fused Pallas sweep forward + inverse-warp
+Pallas backward, ops/paired_sweep.py) is the default.
+
+Usage: python scripts/bench_train_step.py
+         [--xla]         # full XLA path (scatter-add backward)
+         [--no-paired]   # round-2 path: XLA sweep fwd + Pallas bwd
+         [--remat] [--batch N] [--flat]
 """
 
 import os
@@ -21,12 +28,14 @@ def main():
     from scene_3dreconstruction_mvsnet_tpu.train import (
         TrainState, make_optimizer, make_train_step,
     )
-    from scene_3dreconstruction_mvsnet_tpu.ops.pallas.warp_grad import (
-        suggest_grad_envelope,
+    from scene_3dreconstruction_mvsnet_tpu.ops.paired_sweep import (
+        suggest_family_envelopes,
     )
 
     B = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 1
     use_pallas = "--xla" not in sys.argv
+    paired = use_pallas and "--no-paired" not in sys.argv
+    flat = "--flat" in sys.argv
     remat = "--remat" in sys.argv
     V, H, W, D = 3, 512, 640, 192
 
@@ -44,18 +53,23 @@ def main():
         np.linspace(425, 905, D, dtype=np.float32)[None], (B, D)
     ).copy()
 
-    grad_env = None
+    grad_env = sweep_env = None
     if use_pallas:
-        env = suggest_grad_envelope(projs[1:], projs[0], dv[0], H // 4, W // 4)
-        grad_env = (env["kx"] + 2, env["yspan"] + 4,
-                    -(-(env["pr"] + 8) // 8) * 8, env["pcp"])
-        print("grad envelope:", grad_env)
+        sweep_env, grad_env = suggest_family_envelopes(
+            [(np.stack(projs), dv[0])], H // 4, W // 4
+        )
+        if not paired:
+            sweep_env = None
+        print("envelopes: sweep", sweep_env, "grad", grad_env)
 
     model = MVSNet(
         dtype=jnp.bfloat16,
-        depth_chunk=48,
+        depth_chunk=None if paired else 48,
         remat=remat,
         pallas_grad_env=grad_env,
+        pallas_sweep_env=sweep_env,
+        flat_features=flat,
+        flat_costreg=flat,
     )
     batch = {
         "imgs": jnp.asarray(rng.rand(B, V, H, W, 3).astype(np.float32)),
@@ -76,6 +90,8 @@ def main():
     t0 = time.time()
     state, aux = step(state, batch)
     loss = float(aux["loss"])
+    if "plan_valid" in aux:
+        assert bool(aux["plan_valid"]), "paired sweep plan invalid for this rig"
     print(f"compile+first step: {time.time()-t0:.1f}s loss={loss:.3f}")
 
     iters = 3
@@ -84,7 +100,7 @@ def main():
         state, aux = step(state, batch)
         _ = float(aux["loss"])  # force
     dt = (time.time() - t0) / iters
-    mode = f"pallas_grad={use_pallas} remat={remat} B={B}"
+    mode = f"pallas_grad={use_pallas} paired={paired} flat={flat} remat={remat} B={B}"
     print(f"train step ({mode}, {V}v {H}x{W} D{D} bf16): {dt:.2f} s/step")
 
 

@@ -24,6 +24,12 @@ python train.py \
     --NtestViews=5 \
     --logdir="$LOGDIR" \
     --dtype=bfloat16 \
-    --depth_chunk=48 \
-    --remat \
+    --pallas_sweep \
+    --pallas_grad \
+    --flat_features \
+    --flat_costreg \
     "$@" 2>&1 | tee "$LOGDIR/train.log"
+# the paired Pallas sweep (--pallas_sweep --pallas_grad) needs no depth
+# chunking or remat: warped footprints never hit HBM and the custom-VJP
+# residuals are small. Fall back with:
+#   scripts/train_DTU.sh --dtype=bfloat16 --depth_chunk=48 --remat

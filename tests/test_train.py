@@ -168,6 +168,7 @@ def test_trainer_end_to_end(tmp_path, tiny_ds):
         summary_freq=1,
         save_freq=1,
         num_workers=0,
+        debug_mvsnet=0b110001,  # bits 0 (imgs/features), 4 (depth), 5 (conf)
     )
     result = trainer.test()
     assert "loss" in result
@@ -175,6 +176,18 @@ def test_trainer_end_to_end(tmp_path, tiny_ds):
     assert np.isfinite(final["loss"])
     assert find_latest(logdir) is not None
     assert os.path.exists(os.path.join(logdir, "scalars.jsonl"))
+
+    # --debug_MVSnet training wiring (component 33): summary-cadence stage
+    # dumps land under <logdir>/debug_train/step<N>/debug/
+    dump_root = os.path.join(logdir, "debug_train")
+    steps = sorted(os.listdir(dump_root))
+    assert steps, "no debug_train step dumps written"
+    dump = os.path.join(dump_root, steps[0], "debug")
+    names = set(os.listdir(dump))
+    assert "img_view0.png" in names            # bit 0
+    assert "depth_expectation.png" in names    # bit 4
+    assert "photometric_confidence.png" in names  # bit 5
+    assert not any(n.startswith("warped_") for n in names)  # bit 1 off
 
     # resume restores epoch counter past the end -> no further epochs
     trainer2 = Trainer(

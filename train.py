@@ -61,17 +61,41 @@ parser.add_argument("--remat", action="store_true",
                     help="rematerialize the plane sweep in backward "
                          "(needed for the full 512x640/D192 recipe on 16GB)")
 parser.add_argument("--debug_MVSnet", type=int, default=0,
-                    help="debug bitmask kept for CLI parity (visualization "
-                         "windows are not supported in headless TPU runs)")
+                    help="training debug bitmask (reference bit meanings); "
+                         "headless TPU runs dump the selected forward stages "
+                         "as PNGs under <logdir>/debug_train/ at the "
+                         "summary-freq cadence")
 parser.add_argument("--pallas_grad", action="store_true",
                     help="route the plane-sweep warp's backward through the "
                          "inverse-warp Pallas TPU kernel (no scatter-add); "
-                         "the window envelope is planned from the first "
-                         "training sample with margin")
+                         "window envelopes are planned over --env_samples "
+                         "training samples with margin")
+parser.add_argument("--pallas_sweep", action="store_true",
+                    help="use the fused Pallas plane-sweep variance kernel "
+                         "(requires --dtype bfloat16). Together with "
+                         "--pallas_grad this enables the fully paired "
+                         "custom-VJP training sweep (ops/paired_sweep.py); "
+                         "plan validity is checked every step (--plan_check)")
+parser.add_argument("--env_samples", type=int, default=8,
+                    help="number of training samples (spread across the "
+                         "dataset) used to plan the Pallas kernel window "
+                         "envelopes over the rig family")
+parser.add_argument("--plan_check", default="raise",
+                    choices=["raise", "warn", "off"],
+                    help="what to do when a batch's geometry exceeds the "
+                         "paired-sweep kernel envelope mid-training "
+                         "(gradients would be untrustworthy)")
 parser.add_argument("--flat_features", action="store_true",
                     help="run FeatureNet in the flat block-Toeplitz layout "
                          "(ops/flat_conv.py, ~2x on TPU; same param tree, "
                          "exact up to contraction order)")
+parser.add_argument("--flat_costreg", action="store_true",
+                    help="run CostRegNet in the flat block-Toeplitz layout "
+                         "(ops/flat_conv.py; same param tree)")
+parser.add_argument("--pallas_regression", action="store_true",
+                    help="fused Pallas softmax-regression kernel at eval "
+                         "(training always takes the differentiable XLA "
+                         "composite)")
 parser.add_argument("--img_cache", default=None,
                     help="directory for a pre-decoded image cache; "
                          "multi-epoch training re-decodes the same PNGs "
@@ -123,23 +147,32 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    grad_env = None
-    if args.pallas_grad:
-        from scene_3dreconstruction_mvsnet_tpu.ops.pallas.warp_grad import (
-            suggest_grad_envelope,
+    grad_env = sweep_env = None
+    if args.pallas_grad or args.pallas_sweep:
+        from scene_3dreconstruction_mvsnet_tpu.ops.paired_sweep import (
+            suggest_family_envelopes,
         )
 
-        sample = train_dataset[0]  # imgs [V, H, W, 3]
-        h4, w4 = sample["imgs"].shape[1] // 4, sample["imgs"].shape[2] // 4
-        env = suggest_grad_envelope(
-            sample["proj_matrices"][1:], sample["proj_matrices"][0],
-            sample["depth_values"], h4, w4,
+        if args.pallas_sweep and args.dtype != "bfloat16":
+            parser.error("--pallas_sweep requires --dtype bfloat16")
+        # plan window envelopes over a spread of the rig family, not just
+        # sample 0 — the kernels do not fall back inside the training VJP
+        # (a per-step in-graph validity check backstops family members the
+        # planner did not see)
+        n = min(args.env_samples, len(train_dataset))
+        idxs = np.unique(np.linspace(0, len(train_dataset) - 1, n).astype(int))
+        samples = [train_dataset[int(i)] for i in idxs]
+        h4, w4 = (samples[0]["imgs"].shape[1] // 4,
+                  samples[0]["imgs"].shape[2] // 4)
+        senv, genv = suggest_family_envelopes(
+            [(s["proj_matrices"], s["depth_values"]) for s in samples], h4, w4
         )
-        # margin: the envelope is planned from ONE sample but must cover the
-        # whole rig family (the backward kernel does not fall back)
-        grad_env = (env["kx"] + 2, env["yspan"] + 4,
-                    -(-(env["pr"] + 8) // 8) * 8, env["pcp"])
-        print(f"pallas_grad envelope (with margin): {grad_env}")
+        if args.pallas_grad:
+            grad_env = genv
+            print(f"pallas_grad envelope ({n} samples + margin): {grad_env}")
+        if args.pallas_sweep:
+            sweep_env = senv
+            print(f"pallas_sweep envelope ({n} samples + margin): {sweep_env}")
 
     model = MVSNet(
         refine=args.refine,
@@ -147,7 +180,10 @@ def main() -> None:
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
         remat=args.remat,
         pallas_grad_env=grad_env,
+        pallas_sweep_env=sweep_env,
         flat_features=args.flat_features,
+        flat_costreg=args.flat_costreg,
+        use_pallas_regression=args.pallas_regression,
     )
 
     trainer = Trainer(
@@ -164,6 +200,8 @@ def main() -> None:
         save_freq=args.save_freq,
         seed=seed,
         num_workers=args.num_workers,
+        plan_check=args.plan_check,
+        debug_mvsnet=args.debug_MVSnet,
     )
 
     if args.resume:
