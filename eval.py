@@ -59,6 +59,18 @@ parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"
 parser.add_argument("--depth_chunk", type=int, default=None)
 parser.add_argument("--use_pallas", action="store_true",
                     help="fused Pallas regression kernel (TPU only)")
+parser.add_argument("--pallas_sweep", action="store_true",
+                    help="fused Pallas plane-sweep variance kernel for stage "
+                         "A (requires --dtype bfloat16); envelope planned "
+                         "from eval samples, with an in-graph XLA fallback")
+parser.add_argument("--flat_features", action="store_true",
+                    help="FeatureNet in the flat block-Toeplitz layout "
+                         "(ops/flat_conv.py, ~2x on TPU; same param tree)")
+parser.add_argument("--flat_costreg", action="store_true",
+                    help="CostRegNet in the flat block-Toeplitz layout")
+parser.add_argument("--img_cache", default=None,
+                    help="directory for a pre-decoded image cache (first "
+                         "epoch populates it; later reads are mmap loads)")
 parser.add_argument("--num_workers", type=int, default=4)
 parser.add_argument("--skip_gen", action="store_true",
                     help="skip stage A (reuse existing depth maps)")
@@ -152,11 +164,15 @@ def main() -> None:
 
     import jax.numpy as jnp
 
+    if args.pallas_sweep and args.dtype != "bfloat16":
+        parser.error("--pallas_sweep requires --dtype bfloat16")
     model = MVSNet(
         refine=False,
         depth_chunk=args.depth_chunk,
         use_pallas_regression=args.use_pallas,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
+        flat_features=args.flat_features,
+        flat_costreg=args.flat_costreg,
     )
 
     cam_subfolder = args.cam_subfolder or DICT_CAM_SUBFOLDER[args.dataset_name]
@@ -186,6 +202,9 @@ def main() -> None:
             num_workers=args.num_workers,
             debug_bitmask=args.debug_MVSnet,
             debug_depth_gen=args.debug_depth_gen,
+            batch_size=args.batch_size,
+            img_cache=args.img_cache,
+            pallas_sweep=args.pallas_sweep,
         )
 
     if args.skip_filter:

@@ -68,9 +68,16 @@ class MVSDataset(MVSDatasetBase):
             )
 
             intrinsics, extrinsics, depth_min, depth_interval = self.read_cam(cam_filename)
-            np_img, intrinsics = read_rescale_crop_img(
-                img_filename, intrinsics, img_res=self.img_res
-            )
+            if self.img_cache:
+                from ..io.images import read_rescale_crop_img_cached
+
+                np_img, intrinsics = read_rescale_crop_img_cached(
+                    img_filename, intrinsics, self.img_res, self.img_cache
+                )
+            else:
+                np_img, intrinsics = read_rescale_crop_img(
+                    img_filename, intrinsics, img_res=self.img_res
+                )
             imgs.append(np_img)
 
             intrinsics[:2, :] /= 4.0  # feature-net x4 I/O factor

@@ -93,6 +93,10 @@ def save_depth(
     num_workers: int = 4,
     debug_bitmask: int = 0,
     debug_depth_gen: int = 0,
+    batch_size: int = 1,
+    img_cache: str | None = None,
+    pallas_sweep: bool = False,
+    env_samples: int = 4,
 ) -> dict:
     """Run depth generation for every reference view. Returns timing stats.
 
@@ -102,6 +106,12 @@ def save_depth(
     prediction + confidence (+ conf>50%) PNGs, bit 2 per-view point-cloud
     PLY, bit 3 combined all-views point-cloud PLY (+ a cropped/outlier-
     removed/voxel-downsampled variant, /root/reference/eval.py:472-497).
+
+    ``batch_size`` > 1 pipelines depth generation: the final partial batch
+    is padded by repeating the last view (padded outputs are not written).
+    ``pallas_sweep`` plans a fused-kernel window envelope over
+    ``env_samples`` eval samples and dispatches the Pallas sweep with an
+    in-graph XLA fallback (requires the model's bf16 fast path).
     """
     print(f"============ Generating DEPTH MAPS using {NviewGen} views")
     MVSDataset = find_dataset_def(dataset)
@@ -117,8 +127,37 @@ def save_depth(
         img_subfolder=img_subfolder,
         img_res=img_res,
         dataset_name=dataset_name,
+        img_cache=img_cache,
     )
-    loader = Loader(test_dataset, batch_size=1, num_workers=num_workers)
+    if pallas_sweep:
+        # plan the fused-kernel window envelope over a spread of eval
+        # samples; the eval dispatch keeps an in-graph XLA fallback, so an
+        # under-planned envelope costs speed, never correctness
+        import jax.numpy as _jnp
+
+        if model.dtype != _jnp.bfloat16:
+            raise ValueError("pallas_sweep requires the bf16 fast path "
+                             "(model dtype bfloat16)")
+        from ..ops.pallas.sweep_variance import suggest_envelope
+
+        n = min(env_samples, len(test_dataset))
+        idxs = np.unique(np.linspace(0, len(test_dataset) - 1, n).astype(int))
+        env = {}
+        h4 = w4 = None
+        for i in idxs:
+            s = test_dataset[int(i)]
+            h4, w4 = s["imgs"].shape[1] // 4, s["imgs"].shape[2] // 4
+            e = suggest_envelope(
+                s["proj_matrices"][1:], s["proj_matrices"][0],
+                s["depth_values"], h4, w4,
+            )
+            env = {k: max(env.get(k, 0), v) for k, v in e.items()}
+        sweep_env = (
+            env["yspan"] + 2, -(-(env["pr"] + 8) // 8) * 8, env["pcp"]
+        )
+        print(f"pallas_sweep envelope ({len(idxs)} samples + margin): {sweep_env}")
+        model = model.clone(pallas_sweep_env=sweep_env)
+    loader = Loader(test_dataset, batch_size=batch_size, num_workers=num_workers)
     infer = make_infer_step(model)
 
     acquisition_folder = testpath.rstrip("/").split("/")[-1]
@@ -135,10 +174,14 @@ def save_depth(
     vertices: list[np.ndarray] = []
     vertex_colors: list[np.ndarray] = []
 
-    gen_times: list[float] = []
+    gen_times: list[float] = []  # per-VIEW forward time (batch dt / n_real)
     writer = ThreadPoolExecutor(max_workers=2)
     pending = []
-    for batch_idx, sample in enumerate(loader):
+    view_idx = 0
+    n_views_total = len(test_dataset)
+    from ..data.pipeline import BackgroundLoader
+
+    for batch_idx, sample in enumerate(BackgroundLoader(loader)):
         if batch_idx == 0 and debug_bitmask:
             from ..utils.debug_dump import debug_forward
 
@@ -146,81 +189,104 @@ def save_depth(
                 model, variables, sample["imgs"], sample["proj_matrices"],
                 sample["depth_values"], debug_bitmask, outdir_acq,
             )
+        imgs_b = sample["imgs"]
+        projs_b = sample["proj_matrices"]
+        dv_b = sample["depth_values"]
+        n_real = imgs_b.shape[0]
+        if n_real < batch_size:
+            # pad the trailing partial batch by repeating the last view so
+            # the jitted infer keeps a single compiled shape
+            pad = batch_size - n_real
+            imgs_b = np.concatenate([imgs_b, np.repeat(imgs_b[-1:], pad, 0)])
+            projs_b = np.concatenate([projs_b, np.repeat(projs_b[-1:], pad, 0)])
+            dv_b = np.concatenate([dv_b, np.repeat(dv_b[-1:], pad, 0)])
         t0 = time.time()
         outputs = infer(
             variables,
-            jnp.asarray(sample["imgs"]),
-            jnp.asarray(sample["proj_matrices"]),
-            jnp.asarray(sample["depth_values"]),
+            jnp.asarray(imgs_b),
+            jnp.asarray(projs_b),
+            jnp.asarray(dv_b),
         )
-        depth = np.asarray(outputs["depth"])[0]
-        confidence = np.asarray(outputs["photometric_confidence"])[0]
-        gen_times.append(time.time() - t0)
-        print(
-            f"Iter {batch_idx + 1}/{len(loader)} "
-            f"(fwd pass in {gen_times[-1]:.3f}s)"
-        )
+        depths = np.asarray(outputs["depth"])
+        confidences = np.asarray(outputs["photometric_confidence"])
+        dt = time.time() - t0
+        gen_times.extend([dt / n_real] * n_real)
 
-        # depth/confidence range summary (/root/reference/eval.py:399-407)
-        print(
-            "depth Min/Max: {:.1f}/{:.1f} - conf. Min/Max: {:.1f}%/{:.1f}%".format(
-                np.min(depth), np.max(depth),
-                np.min(confidence) * 100, np.max(confidence) * 100,
-            )
-        )
-        print(
-            "confidence percentiles: 25%:{:.1f}% 50%:{:.1f}% 75%:{:.1f}% 90%:{:.1f}%".format(
-                np.percentile(confidence, 25) * 100,
-                np.percentile(confidence, 50) * 100,
-                np.percentile(confidence, 75) * 100,
-                np.percentile(confidence, 90) * 100,
-            )
-        )
-
-        filename_tpl = sample["filename"][0]
-        ref_img = sample["imgs"][0, 0]
-        K = sample["intrinsics"][0][0] if "intrinsics" in sample else None
-        E = sample["extrinsics"][0][0] if "extrinsics" in sample else None
-        if K is None:
+        K_b = sample.get("intrinsics")
+        E_b = sample.get("extrinsics")
+        if K_b is None:
             raise ValueError(
                 "eval dataset must return intrinsics/extrinsics "
                 "(use dataset='dataloader_eval')"
             )
-        pending.append(
-            writer.submit(
-                _write_view, outdir_acq, filename_tpl, ref_img, depth, confidence, K, E
+        for b in range(n_real):
+            depth = depths[b]
+            confidence = confidences[b]
+            view_idx += 1
+            print(
+                f"Iter {view_idx}/{n_views_total} "
+                f"(fwd pass in {dt / n_real:.3f}s)"
             )
-        )
 
-        if gen_bits:
-            _dump_depth_gen_debug(
-                debug_dir, batch_idx, gen_bits, ref_img, depth, confidence
-            )
-        if accumulate_cloud:
-            from ..geometry.transforms import depth_to_world_points
-            from ..io.images import resize_img
-            from ..io.ply import write_ply
-
-            world = np.asarray(
-                depth_to_world_points(
-                    jnp.asarray(depth.astype(np.float32)),
-                    jnp.asarray(np.asarray(K, np.float32)),
-                    jnp.asarray(np.asarray(E, np.float32)),
-                    xy_scale=1.0,
+            # depth/confidence range summary (/root/reference/eval.py:399-407)
+            print(
+                "depth Min/Max: {:.1f}/{:.1f} - conf. Min/Max: {:.1f}%/{:.1f}%".format(
+                    np.min(depth), np.max(depth),
+                    np.min(confidence) * 100, np.max(confidence) * 100,
                 )
             )
-            h, w = depth.shape
-            colors = resize_img(np.asarray(ref_img), (h, w)).reshape(-1, 3)
-            vertices.append(world)
-            vertex_colors.append((np.clip(colors, 0, 1) * 255).astype(np.uint8))
-            if "2" in gen_bits:
-                os.makedirs(debug_dir, exist_ok=True)
-                from ..io.ply import write_ply as _wp
-
-                _wp(
-                    os.path.join(debug_dir, f"cloud_view{batch_idx:0>4}.ply"),
-                    world, vertex_colors[-1],
+            print(
+                "confidence percentiles: 25%:{:.1f}% 50%:{:.1f}% 75%:{:.1f}% 90%:{:.1f}%".format(
+                    np.percentile(confidence, 25) * 100,
+                    np.percentile(confidence, 50) * 100,
+                    np.percentile(confidence, 75) * 100,
+                    np.percentile(confidence, 90) * 100,
                 )
+            )
+
+            filename_tpl = sample["filename"][b]
+            ref_img = sample["imgs"][b, 0]
+            K = K_b[b][0]
+            E = E_b[b][0]
+            pending.append(
+                writer.submit(
+                    _write_view, outdir_acq, filename_tpl, ref_img, depth,
+                    confidence, K, E,
+                )
+            )
+
+            if gen_bits:
+                _dump_depth_gen_debug(
+                    debug_dir, view_idx - 1, gen_bits, ref_img, depth, confidence
+                )
+            if accumulate_cloud:
+                from ..geometry.transforms import depth_to_world_points
+                from ..io.images import resize_img
+
+                world = np.asarray(
+                    depth_to_world_points(
+                        jnp.asarray(depth.astype(np.float32)),
+                        jnp.asarray(np.asarray(K, np.float32)),
+                        jnp.asarray(np.asarray(E, np.float32)),
+                        xy_scale=1.0,
+                    )
+                )
+                h, w = depth.shape
+                colors = resize_img(np.asarray(ref_img), (h, w)).reshape(-1, 3)
+                vertices.append(world)
+                vertex_colors.append(
+                    (np.clip(colors, 0, 1) * 255).astype(np.uint8)
+                )
+                if "2" in gen_bits:
+                    os.makedirs(debug_dir, exist_ok=True)
+                    from ..io.ply import write_ply as _wp
+
+                    _wp(
+                        os.path.join(
+                            debug_dir, f"cloud_view{view_idx - 1:0>4}.ply"
+                        ),
+                        world, vertex_colors[-1],
+                    )
     for f in pending:
         f.result()
     writer.shutdown()

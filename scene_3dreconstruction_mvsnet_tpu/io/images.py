@@ -11,6 +11,7 @@ stacking for B&W bin-picking cameras.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 from PIL import Image
@@ -50,6 +51,39 @@ def read_img_cached(filename: str, cache_dir: str) -> np.ndarray:
     np.save(tmp, img)
     os.replace(tmp, path)
     return img
+
+
+def read_rescale_crop_img_cached(
+    img_fname: str,
+    intrinsics: np.ndarray,
+    img_res: tuple[int, int],
+    cache_dir: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """``read_rescale_crop_img`` with an .npz cache of the rescaled/cropped
+    image AND its adjusted intrinsics (keyed by source mtime + target res),
+    so eval stage A skips both the PNG decode and the resize on re-runs.
+
+    ``intrinsics`` must be the unadjusted camera matrix; the cached adjusted
+    matrix is copied into it (same in-place contract as the uncached path).
+    """
+    import hashlib
+
+    st = os.stat(img_fname)
+    key = hashlib.sha1(
+        f"{os.path.abspath(img_fname)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|{tuple(img_res)}".encode()
+    ).hexdigest()
+    path = os.path.join(cache_dir, key + ".npz")
+    if os.path.exists(path):
+        with np.load(path) as data:
+            intrinsics[:] = data["intrinsics"]
+            return data["img"], intrinsics
+    img, intr = read_rescale_crop_img(img_fname, intrinsics, img_res)
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.tmp.npz"
+    np.savez(tmp, img=img, intrinsics=intr)
+    os.replace(tmp, path)
+    return img, intr
 
 
 def read_mask(filename: str) -> np.ndarray:

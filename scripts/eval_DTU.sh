@@ -25,4 +25,11 @@ python eval.py \
     --condmask_pixel=1.0 \
     --condmask_depth=0.0025 \
     --save_ply \
+    --dtype=bfloat16 \
+    --pallas_sweep \
+    --use_pallas \
+    --flat_features \
+    --flat_costreg \
     "$@" 2>&1 | tee "$OUTDIR/eval.log"
+# the last five flags are the benched TPU fast path (bf16 + fused Pallas
+# sweep/regression + flat conv layouts); drop them for a bit-parity f32 run

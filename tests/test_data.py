@@ -136,6 +136,33 @@ def test_img_cache_matches_direct_reads(blender_root, tmp_path):
     assert len([f for f in os.listdir(cache) if f.endswith(".npy")]) == n_entries
 
 
+def test_eval_img_cache_matches_direct_reads(tmp_path, rig):
+    """Eval stage-A img_cache caches the rescaled/cropped image AND the
+    adjusted intrinsics (io.images.read_rescale_crop_img_cached) — samples
+    must be byte-identical with and without the cache, on re-reads too."""
+    root = tmp_path / "eval"
+    make_eval_tree(str(root), scan="scan1", rig=rig)
+    write_scan_list(str(root / "test.txt"), ["scan1"])
+    MVSDataset = find_dataset_def("dataloader_eval")
+    kw = dict(
+        datapath=str(root), listfile=str(root / "test.txt"), mode="test",
+        nviews=3, ndepths=16, interval_scale=1.0, cam_subfolder="Cameras",
+        img_subfolder="Rectified/{}/rect_C{:0>3}_L00.png",
+        img_res=rig.img_hw, dataset_name="bds8",
+    )
+    cache = str(tmp_path / "evalcache")
+    plain = MVSDataset(**kw)
+    cached = MVSDataset(**kw, img_cache=cache)
+    a, b = plain[0], cached[0]
+    n = len([f for f in os.listdir(cache) if f.endswith(".npz")])
+    assert n > 0
+    b2 = cached[0]
+    for k in ("imgs", "proj_matrices", "intrinsics", "extrinsics",
+              "depth_values"):
+        np.testing.assert_array_equal(a[k], b[k])
+        np.testing.assert_array_equal(a[k], b2[k])
+
+
 def test_loader_batching(blender_root):
     MVSDataset = find_dataset_def("blender")
     ds = MVSDataset(blender_root, os.path.join(blender_root, "train.txt"),

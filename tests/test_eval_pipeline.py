@@ -258,3 +258,49 @@ def test_eval_cli_end_to_end(tmp_path):
 
     d, _ = read_pfm(os.path.join(out_scan, "depth_est/00000000.pfm"))
     assert d.shape == (16, 24)
+
+
+@pytest.mark.slow
+def test_save_depth_batched_matches_single(tmp_path):
+    """Stage A with batch_size=2 (incl. a padded trailing batch over 3
+    views) must write depth/confidence PFMs matching batch_size=1 to float
+    reassociation tolerance (ops/plane_sweep.py batched dispatch +
+    eval/depth_gen.py padding; XLA reduction order differs per batch
+    shape, so bytes may differ at the ulp level)."""
+    import jax
+    from scene_3dreconstruction_mvsnet_tpu.data.synthetic import (
+        make_eval_tree,
+        write_scan_list,
+    )
+    from scene_3dreconstruction_mvsnet_tpu.eval import save_depth
+    from scene_3dreconstruction_mvsnet_tpu.io.pfm import read_pfm
+    from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
+
+    root = tmp_path / "acq"
+    rig = SyntheticRig(n_views=3, img_hw=(64, 96), baseline=3.0)
+    make_eval_tree(str(root), scan="scan1", rig=rig, ndepths=16)
+    write_scan_list(str(root / "test.txt"), ["scan1"])
+
+    model = MVSNet()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 2, 64, 96, 3)),
+        jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)),
+        jnp.linspace(1.0, 2.0, 16)[None],
+    )
+    kw = dict(
+        dataset="dataloader_eval", dataset_name="bds8",
+        testpath=str(root), testlist=str(root / "test.txt"),
+        NviewGen=3, numdepth=16, interval_scale=1.0,
+        cam_subfolder="Cameras",
+        img_subfolder="Rectified/{}/rect_C{:0>3}_L00.png",
+        img_res=(64, 96), num_workers=0,
+    )
+    save_depth(model, variables, outdir=str(tmp_path / "b1"), **kw)
+    save_depth(model, variables, outdir=str(tmp_path / "b2"), batch_size=2, **kw)
+
+    for v in range(3):
+        for sub in ("depth_est", "confidence"):
+            a, _ = read_pfm(str(tmp_path / "b1" / "acq" / "scan1" / sub / f"{v:0>8}.pfm"))
+            b, _ = read_pfm(str(tmp_path / "b2" / "acq" / "scan1" / sub / f"{v:0>8}.pfm"))
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
