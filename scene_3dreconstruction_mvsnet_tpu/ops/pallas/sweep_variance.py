@@ -70,10 +70,6 @@ class SweepPlan(NamedTuple):
     patch_x0p: jnp.ndarray  # [Vs, nYB*nXB] i32 pair-space origin (128-aligned)
     woy: jnp.ndarray       # [Vs, D, nYB, TILE_H, nXB] i32 window row offset
     base: jnp.ndarray      # [Vs, D, nYB, TILE_H, nXB] i32 pair-window base
-    single: jnp.ndarray    # [Vs, D, nYB, TILE_H, nXB] i32 1 = the row's taps
-    #                        all land in [base, base+128) — the kernel takes
-    #                        ONE vreg-local gather per tap instead of two
-    #                        clipped gathers + a lane select
     valid: jnp.ndarray     # [] bool — geometry fits the envelope
 
 
@@ -228,13 +224,7 @@ def plan_sweep(
             ) * 128
         else:
             base = jnp.zeros_like(p_lo_b)
-        # single-window opportunism: most rows' pair span lands entirely in
-        # [base, base+128) after the 128-aligned flooring; those rows take
-        # half the gathers (one per tap, no clipped pair + select)
         p_hi_b = banded(p_hi, mode="edge")
-        rel_lo = p_lo_b - patch_x0p[None, :, None, :] - base
-        rel_hi = p_hi_b - patch_x0p[None, :, None, :] - base
-        single = ((rel_lo >= 0) & (rel_hi <= 127)).astype(jnp.int32)
 
         # validity: spans fit the envelope and the patch covers every
         # in-image window of its tile
@@ -255,11 +245,10 @@ def plan_sweep(
             & (jnp.maximum(y_lo_b, 0) >= patch_y0[None, :, None, :])
         )
         valid = jnp.all(jnp.where(intersects, fits & covers, True)) & den_ok
-        return (patch_y0.reshape(-1), patch_x0p.reshape(-1), woy, base,
-                single, valid)
+        return patch_y0.reshape(-1), patch_x0p.reshape(-1), woy, base, valid
 
-    py0, px0, woy, base, single, valid = jax.vmap(one_view)(src_projs)
-    return SweepPlan(py0, px0, woy, base, single, jnp.all(valid))
+    py0, px0, woy, base, valid = jax.vmap(one_view)(src_projs)
+    return SweepPlan(py0, px0, woy, base, jnp.all(valid))
 
 
 def plan_is_valid(src_projs, ref_proj, depth_values, height, width, **env) -> jnp.ndarray:
@@ -306,12 +295,10 @@ def _sweep_kernel(
     ref_blk,        # [TILE_H, 16, TILE_W] f32 packed ref tile (VMEM block)
     woy_ref,        # [Vs, 1, 1, TILE_H, nXB] SMEM block
     base_ref,       # [Vs, 1, 1, TILE_H, nXB] SMEM block
-    single_ref,     # [Vs, 1, 1, TILE_H, nXB] SMEM block (1 = one-window row)
     # outputs (warps_ref only present when emit_warps)
     *refs,          # out_ref [1, TILE_H, 32, TILE_W] variance block,
                     # [warps_ref [Vs, 1, TILE_H, 32, TILE_W] per-view warps,]
-                    # patch0/patch1 [Vs, pr, 16, pcp] VMEM, wtmp [2,8,TILE_W],
-                    # sems [2*Vs]
+                    # patch0/patch1 [Vs, pr, 16, pcp] VMEM, sems [2*Vs]
     Vs: int,
     V: int,
     H: int,
@@ -323,9 +310,9 @@ def _sweep_kernel(
     emit_warps: bool,
 ):
     if emit_warps:
-        out_ref, warps_ref, patch0, patch1, wtmp, sems = refs
+        out_ref, warps_ref, patch0, patch1, sems = refs
     else:
-        out_ref, patch0, patch1, wtmp, sems = refs
+        out_ref, patch0, patch1, sems = refs
         warps_ref = None
     yb = pl.program_id(0)
     xb = pl.program_id(1)
@@ -433,14 +420,16 @@ def _sweep_kernel(
             wy0_r = w_y0[r : r + 1]
             wy1_r = w_y1[r : r + 1]
 
-            def tap_loop(cg, one_window):
+            def tap_loop(cg, one_window, nry):
                 """Accumulate the (w_lo, w_hi) bilinear row sums for channel
-                group ``cg``. ``one_window``: all taps land in
+                group ``cg``. ``one_window`` (STATIC): all taps land in
                 [base, base+128) — one gather per tap, no clipped pair +
-                lane select (the plan's ``single`` bit guarantees it)."""
+                lane select. ``nry`` (STATIC): window rows to visit (2 in
+                the fast variant — plan.all_fast guarantees floor(y) is
+                uniform across every row, so taps are window rows {0, 1})."""
                 w_lo = zero8
                 w_hi = zero8
-                for ry in range(yspan):
+                for ry in range(nry):
                     # row weight: taps y0/y0+1 select window rows ry
                     yw = jnp.where(y0l == ry, wy0_r, 0.0) + jnp.where(
                         y0l == ry - 1, wy1_r, 0.0
@@ -491,27 +480,8 @@ def _sweep_kernel(
                     jnp.broadcast_to(w_hi, (8, TILE_W)),
                 )
 
-            sg = single_ref[v, 0, 0, r, xb]
             for cg in range(2):
-                if pcp > 128:
-                    # predicated variants share the wtmp scratch; exactly
-                    # one branch runs per (view, row)
-                    @pl.when(sg == 1)
-                    def _(cg=cg):
-                        w_lo, w_hi = tap_loop(cg, True)
-                        wtmp[0] = w_lo
-                        wtmp[1] = w_hi
-
-                    @pl.when(sg == 0)
-                    def _(cg=cg):
-                        w_lo, w_hi = tap_loop(cg, False)
-                        wtmp[0] = w_lo
-                        wtmp[1] = w_hi
-
-                    w_lo = wtmp[0]
-                    w_hi = wtmp[1]
-                else:
-                    w_lo, w_hi = tap_loop(cg, True)
+                w_lo, w_hi = tap_loop(cg, pcp <= 128, yspan)
                 acc_s[2 * cg] += w_lo
                 acc_q[2 * cg] += w_lo * w_lo
                 acc_s[2 * cg + 1] += w_hi
@@ -651,17 +621,11 @@ def sweep_variance_pallas(
                     lambda yb, xb, d, *refs: (0, d, yb, 0, 0),
                     memory_space=pltpu.SMEM,
                 ),
-                pl.BlockSpec(
-                    (Vs, 1, 1, TILE_H, nXB),
-                    lambda yb, xb, d, *refs: (0, d, yb, 0, 0),
-                    memory_space=pltpu.SMEM,
-                ),
             ],
             out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((Vs, pr, 16, pcp), jnp.float32),
                 pltpu.VMEM((Vs, pr, 16, pcp), jnp.float32),
-                pltpu.VMEM((2, 8, TILE_W), jnp.float32),
                 pltpu.SemaphoreType.DMA((2 * Vs,)),
             ],
         ),
@@ -681,7 +645,6 @@ def sweep_variance_pallas(
         refp,
         plan.woy.astype(jnp.int32),
         plan.base.astype(jnp.int32),
-        plan.single.astype(jnp.int32),
     )
     # [D, H, C, W] -> [D, H, W, C]
     var = jnp.transpose(out[0][:, :H, :, :W], (0, 1, 3, 2))

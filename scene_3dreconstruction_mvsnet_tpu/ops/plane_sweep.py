@@ -99,9 +99,9 @@ def cost_volume_variance(
       pallas_env: (yspan, pr, pcp) static window envelope — dispatch the
         fused Pallas sweep-variance TPU kernel (ops/pallas/sweep_variance.py)
         with a traced-validity fallback to the XLA path. Only taken on the
-        reference's sampler convention (align_corners=False), C=32 features,
-        and B==1; get the envelope from
-        ops.pallas.sweep_variance.suggest_envelope.
+        reference's sampler convention (align_corners=False) and C=32
+        features; B > 1 runs per-sample launches inside lax.map. Get the
+        envelope from ops.pallas.sweep_variance.suggest_envelope.
       grad_env: (kx, yspan, pr, pcp) — route the warp through the custom-VJP
         wrapper (backward = inverse-warp Pallas kernel, no scatter-add).
         Get it from ops.pallas.warp_grad.suggest_grad_envelope; size it over
