@@ -13,6 +13,7 @@ import argparse
 import os
 import re
 import sys
+import time
 
 from scene_3dreconstruction_mvsnet_tpu.eval import filter_depth, save_depth
 from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
@@ -182,6 +183,7 @@ def main() -> None:
     acquisition_folder = args.testpath.rstrip("/").split("/")[-1]
     outdir_acq = os.path.join(args.outdir, acquisition_folder)
 
+    t_start = time.time()
     if not args.skip_gen:
         variables = load_variables(args, model)
         save_depth(
@@ -207,9 +209,13 @@ def main() -> None:
             pallas_sweep=args.pallas_sweep,
         )
 
+    t_stage_a = time.time() - t_start
+    if not args.skip_gen:
+        print(f"stage A wall: {t_stage_a:.3f}s (files in -> depth/conf PFMs out)")
     if args.skip_filter:
         return
 
+    t_b0 = time.time()
     with open(args.testlist) as f:
         scans = [line.rstrip() for line in f.readlines() if line.strip()]
 
@@ -236,6 +242,9 @@ def main() -> None:
             postprocess=args.postprocess,
             debug_depth_filter=args.debug_depth_filter,
         )
+    print(f"stage B wall: {time.time() - t_b0:.3f}s "
+          f"(PFMs in -> masks{' + PLY' if args.save_ply else ''} out)")
+    print(f"total wall: {time.time() - t_start:.3f}s")
 
 
 if __name__ == "__main__":

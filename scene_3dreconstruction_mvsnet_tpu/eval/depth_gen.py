@@ -138,7 +138,10 @@ def save_depth(
         if model.dtype != _jnp.bfloat16:
             raise ValueError("pallas_sweep requires the bf16 fast path "
                              "(model dtype bfloat16)")
-        from ..ops.pallas.sweep_variance import suggest_envelope
+        from ..ops.pallas.sweep_variance import (
+            merge_envelopes,
+            suggest_envelope,
+        )
 
         n = min(env_samples, len(test_dataset))
         idxs = np.unique(np.linspace(0, len(test_dataset) - 1, n).astype(int))
@@ -151,9 +154,13 @@ def save_depth(
                 s["proj_matrices"][1:], s["proj_matrices"][0],
                 s["depth_values"], h4, w4,
             )
-            env = {k: max(env.get(k, 0), v) for k, v in e.items()}
+            env = merge_envelopes(env, e)
+        # per-view tap spans: each saved row is a full gather+fma pass in
+        # the kernel; margin +1 per slot (under-planning costs speed only —
+        # the dispatch falls back to the XLA sweep in-graph)
         sweep_env = (
-            env["yspan"] + 2, -(-(env["pr"] + 8) // 8) * 8, env["pcp"]
+            tuple(y + 1 for y in env["yspan"]),
+            -(-(env["pr"] + 8) // 8) * 8, env["pcp"],
         )
         print(f"pallas_sweep envelope ({len(idxs)} samples + margin): {sweep_env}")
         model = model.clone(pallas_sweep_env=sweep_env)

@@ -49,10 +49,13 @@ class MVSNet(nn.Module):
         order (works in train and eval, differentiable).
       pallas_sweep_env: (yspan, pr, pcp) static window envelope — dispatch
         the fused Pallas plane-sweep variance kernel
-        (ops/pallas/sweep_variance.py) on the bf16 path. At eval this has a
-        traced-validity fallback to the XLA sweep for rigs that exceed the
-        envelope. Get it from ops.pallas.sweep_variance.suggest_envelope
-        (or ops.paired_sweep.suggest_family_envelopes for a rig family).
+        (ops/pallas/sweep_variance.py) on the bf16 path. ``yspan`` may be a
+        per-view tuple (suggest_envelope's "yspan"): each source view then
+        runs only its own tap-row count, the kernel's dominant cost. At
+        eval this has a traced-validity fallback to the XLA sweep for rigs
+        that exceed the envelope. Get it from
+        ops.pallas.sweep_variance.suggest_envelope (or
+        ops.paired_sweep.suggest_family_envelopes for a rig family).
       pallas_grad_env: (kx, yspan, pr, pcp) — in training, route the warp's
         BACKWARD through the inverse-warp Pallas kernel
         (ops/pallas/warp_grad.py) instead of XLA's scatter-add transpose.
@@ -81,7 +84,8 @@ class MVSNet(nn.Module):
     use_pallas_regression: bool = False
     flat_features: bool = False
     flat_costreg: bool = False
-    pallas_sweep_env: Optional[tuple[int, int, int]] = None
+    # (yspan | per-view yspans tuple, pr, pcp)
+    pallas_sweep_env: Optional[tuple] = None
     pallas_grad_env: Optional[tuple[int, int, int, int]] = None
     dtype: Any = None
     align_corners: bool = False

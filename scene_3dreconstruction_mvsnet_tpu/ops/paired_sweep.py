@@ -37,7 +37,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .pallas.sweep_variance import suggest_envelope, sweep_variance_pallas
+from .pallas.sweep_variance import (
+    merge_envelopes,
+    suggest_envelope,
+    sweep_variance_pallas,
+)
 from .pallas.warp_grad import plan_grad, suggest_grad_envelope, warp_grad_pallas
 
 
@@ -150,16 +154,18 @@ def suggest_family_envelopes(samples, height, width, *,
         depth = np.asarray(depth, np.float32)
         s = suggest_envelope(proj[1:], proj[0], depth, height, width)
         g = suggest_grad_envelope(proj[1:], proj[0], depth, height, width)
-        for acc, new in ((s_acc, s), (g_acc, g)):
-            for k, v in new.items():
-                acc[k] = max(acc.get(k, 0), v)
+        s_acc = merge_envelopes(s_acc, s)
+        for k, v in g.items():
+            g_acc[k] = max(g_acc.get(k, 0), v)
         n += 1
     if n == 0:
         raise ValueError("suggest_family_envelopes needs at least one sample")
     sm_y, sm_pr, sm_pcp = sweep_margin
     gm_kx, gm_y, gm_pr, gm_pcp = grad_margin
     sweep_env = (
-        s_acc["yspan"] + sm_y,
+        # per-view tap spans (slot-wise family max + margin): each saved
+        # row is a full gather+fma pass in the sweep kernel
+        tuple(y + sm_y for y in s_acc["yspan"]),
         -(-(s_acc["pr"] + sm_pr) // 8) * 8,
         s_acc["pcp"] + sm_pcp,
     )

@@ -63,6 +63,41 @@ PR = 32      # patch rows staged per tile (must cover the full-depth y drift)
 PCP = 256    # patch cols in PAIR space (=512 px), multiple of 128
 
 
+def merge_envelopes(acc: dict, new: dict) -> dict:
+    """Merge suggest_envelope dicts over samples: scalar fields by max,
+    the per-view "yspan" tuple elementwise (slot k = k-th source view of
+    every sample; loaders emit sources in nearest-first pair order, so
+    slots are comparable across samples)."""
+    if not acc:
+        return dict(new)
+    out = {}
+    for k, v in new.items():
+        if isinstance(v, tuple):
+            prev = acc.get(k, v)
+            out[k] = tuple(max(a, b) for a, b in zip(prev, v))
+        else:
+            out[k] = max(acc.get(k, 0), v)
+    return out
+
+
+def _yspans_tuple(yspan, Vs: int) -> tuple[int, ...]:
+    """Normalize the static yspan envelope to one value per source view.
+
+    yspan is the kernel's dominant cost knob (each extra tap row is a full
+    gather+fma pass: measured +16.9 ms per increment over 4 views at
+    DTU-full). Views of a rig need different spans — in a ring rig the
+    nearest neighbours need 2 while the next ring steps need 3+ — and the
+    view loop is statically unrolled, so each view gets its own."""
+    if isinstance(yspan, (tuple, list)):
+        ys = tuple(int(y) for y in yspan)
+        if len(ys) != Vs:
+            raise ValueError(
+                f"per-view yspan needs {Vs} entries, got {len(ys)}"
+            )
+        return ys
+    return (int(yspan),) * Vs
+
+
 class SweepPlan(NamedTuple):
     """Per-view window plan, all stacked over the Vs = V-1 source views."""
 
@@ -138,7 +173,7 @@ def suggest_envelope(src_projs, ref_proj, depth_values, height, width) -> dict:
     rig. Returns static kwargs for sweep_variance_pallas (one compile per
     envelope)."""
     H, W = height, width
-    y_need, y_drift, x_drift_p = 0, 0, 0
+    yspans, y_drift, x_drift_p = [], 0, 0
     # planning is host-side math: jit it onto the CPU backend with NUMPY
     # (uncommitted) inputs — eager op dispatch through the TPU tunnel costs
     # a per-op compile, and axon->cpu transfers of committed arrays stall
@@ -151,7 +186,8 @@ def suggest_envelope(src_projs, ref_proj, depth_values, height, width) -> dict:
             np.asarray, spans(jax.device_put(src_proj, cpu), ref_np, dv_np)
         )
         inter = (x_lo < W) & (x_hi > 0) & (y_lo < H) & (y_hi > 0)
-        y_need = max(y_need, int(np.where(inter, y_hi - y_lo + 1, 0).max()))
+        y_need = int(np.where(inter, y_hi - y_lo + 1, 0).max())
+        yspans.append(max(2, y_need))
         # per-tile full-depth drift (patch must cover all depth planes)
         ylo_t = np.where(inter, y_lo, np.iinfo(np.int32).max // 4)
         yhi_t = np.where(inter, y_hi, np.iinfo(np.int32).min // 4)
@@ -162,11 +198,19 @@ def suggest_envelope(src_projs, ref_proj, depth_values, height, width) -> dict:
         pdrift = phi.max(axis=0) - plo.min(axis=0) + 1
         x_drift_p = max(x_drift_p, int(np.clip(pdrift, 0, None).max()))
 
-    yspan = max(2, y_need)
+    yspan = max(yspans) if yspans else 2
     # patch rows: tile adds TILE_H-1 rows of slope to the drift
     pr = -(-max(y_drift + TILE_H + 2, yspan + TILE_H) // 8) * 8
     pcp = 128 * (-(-(x_drift_p + TILE_W // 2 + 2 + 128) // 128))
-    return {"yspan": yspan, "pr": pr, "pcp": max(pcp, 256)}
+    return {
+        # per-view tap spans: each source view runs only its own tap-row
+        # count in the kernel (a row is a full gather+fma pass — the
+        # dominant cost); sweep_variance_pallas/plan_sweep accept the
+        # tuple directly, or a plain int for a shared span
+        "yspan": tuple(yspans),
+        "pr": pr,
+        "pcp": max(pcp, 256),
+    }
 
 
 def plan_sweep(
@@ -176,11 +220,12 @@ def plan_sweep(
     height: int,
     width: int,
     *,
-    yspan: int = YSPAN,
+    yspan: int | tuple[int, ...] = YSPAN,
     pr: int = PR,
     pcp: int = PCP,
 ) -> SweepPlan:
-    """Corner-evaluate all source views; returns stacked plans + validity."""
+    """Corner-evaluate all source views; returns stacked plans + validity.
+    ``yspan`` may be per-view (tuple of Vs ints, see _yspans_tuple)."""
     H, W = height, width
     nYB = -(-H // TILE_H)
     nXB = -(-W // TILE_W)
@@ -188,8 +233,11 @@ def plan_sweep(
     Wp = -(-W // 2)  # pair-space width of P0/P1
     pad_h = nYB * TILE_H - H
     big = jnp.iinfo(jnp.int32).max // 4
+    yspans = jnp.asarray(
+        _yspans_tuple(yspan, src_projs.shape[0]), jnp.int32
+    )
 
-    def one_view(src_proj):
+    def one_view(src_proj, yspan_v):
         x_lo, x_hi, y_lo, y_hi, den_ok = _corner_spans(
             src_proj, ref_proj, depth_values, H, W, with_den_ok=True
         )
@@ -210,7 +258,7 @@ def plan_sweep(
 
         y_lo_b = banded(y_lo, mode="edge")
         p_lo_b = banded(p_lo, mode="edge")
-        woy = jnp.clip(y_lo_b - patch_y0[None, :, None, :], 0, pr - yspan)
+        woy = jnp.clip(y_lo_b - patch_y0[None, :, None, :], 0, pr - yspan_v)
         # 128-ALIGNED window base: the kernel slices a 256-lane window at
         # `base` and covers the per-plane span (<=128 pairs by the fits
         # check) with two clipped vreg-local gathers + a select — no
@@ -236,7 +284,7 @@ def plan_sweep(
             (x_lo_q < W) & (x_lo_q + x_need > 0)
             & (y_lo_q < H) & (y_lo_q + y_need > 0)
         )
-        fits = (p_span <= 128) & (y_need <= yspan + 1)
+        fits = (p_span <= 128) & (y_need <= yspan_v + 1)
         y_hi_b = banded(y_hi, mode="edge")
         covers = (
             (jnp.minimum(p_hi_b, Wp - 1) < patch_x0p[None, :, None, :] + pcp)
@@ -247,7 +295,7 @@ def plan_sweep(
         valid = jnp.all(jnp.where(intersects, fits & covers, True)) & den_ok
         return patch_y0.reshape(-1), patch_x0p.reshape(-1), woy, base, valid
 
-    py0, px0, woy, base, valid = jax.vmap(one_view)(src_projs)
+    py0, px0, woy, base, valid = jax.vmap(one_view)(src_projs, yspans)
     return SweepPlan(py0, px0, woy, base, jnp.all(valid))
 
 
@@ -304,7 +352,7 @@ def _sweep_kernel(
     H: int,
     W: int,
     nXB: int,
-    yspan: int,
+    yspans: tuple[int, ...],
     pr: int,
     pcp: int,
     emit_warps: bool,
@@ -422,11 +470,11 @@ def _sweep_kernel(
 
             def tap_loop(cg, one_window, nry):
                 """Accumulate the (w_lo, w_hi) bilinear row sums for channel
-                group ``cg``. ``one_window`` (STATIC): all taps land in
-                [base, base+128) — one gather per tap, no clipped pair +
-                lane select. ``nry`` (STATIC): window rows to visit (2 in
-                the fast variant — plan.all_fast guarantees floor(y) is
-                uniform across every row, so taps are window rows {0, 1})."""
+                group ``cg``. ``one_window`` (STATIC): the whole patch fits
+                one 128-lane window (pcp <= 128) — one gather per tap, no
+                clipped pair + lane select. ``nry`` (STATIC): tap rows to
+                visit — this view's yspan; every extra row is a full
+                gather+fma pass, the kernel's dominant cost."""
                 w_lo = zero8
                 w_hi = zero8
                 for ry in range(nry):
@@ -481,7 +529,7 @@ def _sweep_kernel(
                 )
 
             for cg in range(2):
-                w_lo, w_hi = tap_loop(cg, pcp <= 128, yspan)
+                w_lo, w_hi = tap_loop(cg, pcp <= 128, yspans[v])
                 acc_s[2 * cg] += w_lo
                 acc_q[2 * cg] += w_lo * w_lo
                 acc_s[2 * cg + 1] += w_hi
@@ -520,7 +568,7 @@ def sweep_variance_pallas(
     depth_values: jnp.ndarray,  # [D]
     height: int | None = None,
     width: int | None = None,
-    yspan: int = YSPAN,
+    yspan: int | tuple[int, ...] = YSPAN,
     pr: int = PR,
     pcp: int = PCP,
     out_dtype=jnp.bfloat16,
@@ -533,7 +581,11 @@ def sweep_variance_pallas(
     ``valid`` is a scalar bool; when False the result is undefined and the
     caller must use the XLA path (ops.plane_sweep.cost_volume_variance).
     Envelope kwargs come from suggest_envelope (static; one compile per
-    envelope). Features are consumed in bf16 (the model's fast path).
+    envelope). ``yspan`` may be a per-view tuple (suggest_envelope's
+    "yspan") — each source view then runs only its own tap-row count,
+    which is the kernel's dominant cost (rigs whose views need unequal
+    spans, e.g. ring rigs, save a full gather+fma pass per saved row).
+    Features are consumed in bf16 (the model's fast path).
 
     ``emit_warps`` additionally writes each source view's warped volume
     (the per-view bilinear samples the variance accumulates) — the values
@@ -544,6 +596,7 @@ def sweep_variance_pallas(
     V, H, W, C = features.shape
     D = depth_values.shape[0]
     Vs = V - 1
+    yspans = _yspans_tuple(yspan, Vs)
     nYB = -(-H // TILE_H)
     nXB = -(-W // TILE_W)
     Wp = -(-W // 2)
@@ -553,7 +606,7 @@ def sweep_variance_pallas(
     ref_proj = proj_matrices[0]
     src_projs = proj_matrices[1:]
     plan = plan_sweep(
-        src_projs, ref_proj, depth_values, H, W, yspan=yspan, pr=pr, pcp=pcp
+        src_projs, ref_proj, depth_values, H, W, yspan=yspans, pr=pr, pcp=pcp
     )
     rels = jax.vmap(lambda sp: _coord_terms(sp, ref_proj))(src_projs)
     rot = rels[0].reshape(Vs, 9).astype(jnp.float32)
@@ -570,7 +623,7 @@ def sweep_variance_pallas(
     refp = jnp.pad(refp, ((0, nYB * TILE_H - H), (0, 0), (0, nXB * TILE_W - W)))
 
     kernel = functools.partial(
-        _sweep_kernel, Vs=Vs, V=V, H=H, W=W, nXB=nXB, yspan=yspan, pr=pr,
+        _sweep_kernel, Vs=Vs, V=V, H=H, W=W, nXB=nXB, yspans=yspans, pr=pr,
         pcp=pcp, emit_warps=emit_warps,
     )
 

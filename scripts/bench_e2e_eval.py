@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""End-to-end eval wall clock: files in -> PLY out, stages A + B, through
+the real eval.py CLI on a synthetic scene tree (VERDICT round-2 item 4 —
+the device-sustained bench.py number excludes host decode/IO; this is the
+number a user feels).
+
+Comparable reference surface: /root/reference/eval.py:283-843 (save_depth +
+filter_depth over a scan). Configs:
+  dtu_full — 49-view scan at 864x1152, 192 planes, NviewGen 5,
+             NviewFilter 10 (the BASELINE.md headline geometry)
+  bin      — 4-view rig at 512x640, 192 planes, NviewGen 4, NviewFilter 3
+
+Writes bench_e2e.json next to bench_configs.json and prints one JSON line
+per config: stage A wall, stage B wall, total, views/s end-to-end.
+
+Run on the TPU host:  python scripts/bench_e2e_eval.py [--views 49]
+(--views trims the dtu_full scan for faster iterations; the recorded
+BASELINE.md row uses the full 49.)
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_tree(root: str, n_views: int, hw, ndepths: int):
+    from scene_3dreconstruction_mvsnet_tpu.data.synthetic import (
+        SyntheticRig, make_eval_tree, write_scan_list,
+    )
+
+    rig = SyntheticRig(n_views=n_views, img_hw=hw, baseline=2.0,
+                       z0=500.0, slope_x=0.15, focal=0.8 * hw[1])
+    make_eval_tree(root, scan="scan1", rig=rig, ndepths=ndepths)
+    write_scan_list(os.path.join(root, "test.txt"), ["scan1"])
+    return rig
+
+
+def make_ckpt(logdir: str) -> str:
+    import jax
+    import jax.numpy as jnp
+
+    from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
+    from scene_3dreconstruction_mvsnet_tpu.train import (
+        TrainState, make_optimizer, save_checkpoint,
+    )
+
+    model = MVSNet()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 2, 64, 96, 3)),
+        jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)),
+        jnp.linspace(1.0, 2.0, 16)[None],
+    )
+    state = TrainState.create(variables, make_optimizer(lambda s: 1e-3))
+    return save_checkpoint(logdir, 0, state)
+
+
+def run_config(name, n_views, hw, ngen, nfilter, ckpt, workdir,
+               batch_size, extra):
+    H, W = hw
+    root = os.path.join(workdir, f"acq_{name}")
+    t0 = time.time()
+    build_tree(root, n_views, hw, ndepths=192)
+    t_fixture = time.time() - t0
+
+    outdir = os.path.join(workdir, f"out_{name}")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [
+        sys.executable, os.path.join(repo, "eval.py"),
+        "--dataset", "dataloader_eval", "--dataset_name", "bds8",
+        "--testpath", root, "--testlist", os.path.join(root, "test.txt"),
+        "--loadckpt", ckpt, "--outdir", outdir,
+        "--NviewGen", str(ngen), "--NviewFilter", str(nfilter),
+        "--numdepth", "192", "--interval_scale", "1.0",
+        "--photomask", "0.3", "--geomask", "3",
+        "--condmask_pixel", "1.0", "--condmask_depth", "0.01",
+        "--save_ply", "--batch_size", str(batch_size),
+        "--num_workers", "4",
+        "--img_res", str(H), str(W),
+        "--cam_subfolder", "Cameras",
+        "--img_subfolder", "Rectified/{}/rect_C{:0>3}_L00.png",
+    ] + extra
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    total = time.time() - t0
+    if proc.returncode != 0:
+        print(proc.stdout[-4000:], proc.stderr[-4000:], file=sys.stderr)
+        raise SystemExit(f"{name}: eval.py failed")
+
+    def grab(pat):
+        m = re.search(pat, proc.stdout)
+        return float(m.group(1)) if m else None
+
+    res = {
+        "stage_a_wall_s": grab(r"stage A wall: ([\d.]+)s"),
+        "stage_b_wall_s": grab(r"stage B wall: ([\d.]+)s"),
+        "pipeline_wall_s": grab(r"total wall: ([\d.]+)s"),
+        "proc_wall_s": round(total, 2),  # includes interpreter + jax init
+        "steady_gen_s_per_view": grab(r"\"steady_gen_time\": ([\d.]+)")
+        or grab(r"Averaged generation time: ([\d.]+)"),
+        "views": n_views,
+        "fixture_gen_s": round(t_fixture, 2),
+        "config": f"{n_views} views {H}x{W} D192 gen{ngen} filt{nfilter} "
+                  f"bs{batch_size}",
+    }
+    if res["pipeline_wall_s"]:
+        res["views_per_s_end_to_end"] = round(
+            n_views / res["pipeline_wall_s"], 3
+        )
+    print(json.dumps({name: res}))
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--views", type=int, default=49,
+                    help="views in the dtu_full scan (49 = BASELINE row)")
+    ap.add_argument("--configs", nargs="*", default=["dtu_full", "bin"])
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the workdir (default: tempdir, removed)")
+    args = ap.parse_args()
+
+    workdir = tempfile.mkdtemp(prefix="bench_e2e_")
+    ckpt = make_ckpt(os.path.join(workdir, "log"))
+
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    fast = ([
+        "--dtype", "bfloat16", "--pallas_sweep", "--use_pallas",
+        "--flat_features", "--flat_costreg",
+    ] if on_tpu else [])
+
+    results = {}
+    if "dtu_full" in args.configs:
+        results[f"dtu_full_{args.views}v_e2e"] = run_config(
+            "dtu_full", args.views, (864, 1152), 5, 10, ckpt, workdir,
+            batch_size=2 if on_tpu else 1, extra=fast,
+        )
+    if "bin" in args.configs:
+        results["bin_4cam_e2e"] = run_config(
+            "bin", 4, (512, 640), 4, 3, ckpt, workdir,
+            batch_size=1, extra=fast,
+        )
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                       "bench_e2e.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+    if not args.keep:
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

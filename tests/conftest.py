@@ -24,6 +24,18 @@ if xla_bridge.backends_are_initialized():
 assert jax.default_backend() == "cpu", jax.devices()
 assert jax.device_count() == 8, jax.devices()
 
+# Persistent XLA compilation cache: most of the suite's wall clock on a
+# 1-core host is XLA:CPU compiles of the big train-step/sharded programs
+# (measured 12.1 -> 3.1 s on a toy program; the sharded train step alone
+# compiles for minutes). First run is cold; every later run — including
+# re-runs of the slow tier — hits the cache.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.expanduser("~"), ".cache", "scene3d_mvsnet_jax"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np
 import pytest
 

@@ -3,13 +3,21 @@
 Our FeatureNet folds the V views into the batch axis, so train-mode BN
 statistics pool across views; the reference calls FeatureNet per view
 (/root/reference/models/mvsnet.py:125), computing BN batch stats per view.
-Eval mode is unaffected (running stats). This test trains BOTH
+Eval mode is unaffected (running stats). These tests train BOTH
 implementations from identical weights on the identical batch sequence
-(same Adam hyperparameters) and asserts the loss trajectories track each
+(same Adam hyperparameters) and assert the loss trajectories track each
 other — i.e. the pooled-view BN does not change convergence.
 
-Measured on the synthetic rig (8 steps, lr 1e-3): per-step relative loss
-delta stays under ~2%; see docs/ROUND2_NOTES.md for the recorded table.
+Two tiers:
+  * test_bn_pooling_does_not_change_convergence — 8 steps at 64x96,
+    asserts per-step relative loss delta (measured 0.3-1.2%).
+  * test_bn_pooling_convergence_long — 200 steps at 48x64 on a repeating
+    4-batch cycle (so the optimization actually converges rather than
+    chasing fresh noise), asserts the FINAL loss plateau of the two
+    trainers matches within a bounded relative delta and that both
+    actually descended. This pins the deviation over a real optimization
+    trajectory, not just the first few steps; see docs/ROUND3_NOTES.md
+    for the recorded table.
 """
 
 import numpy as np
@@ -44,23 +52,18 @@ def _batches(n_steps, B, V, H, W, D, seed=0):
     return out
 
 
-@pytest.mark.slow
-def test_bn_pooling_does_not_change_convergence():
+def _train_ours(batches, lr):
+    """Our jitted Adam trainer from PRNGKey(3) init; returns (losses,
+    variables) — variables are the INITIAL ones, for seeding the torch
+    twin with identical weights."""
     import jax
     import jax.numpy as jnp
-    import torch
-    import torch.nn.functional as tF
 
-    from scene_3dreconstruction_mvsnet_tpu.interop import export_torch_state_dict
     from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
     from scene_3dreconstruction_mvsnet_tpu.train import (
         TrainState, make_optimizer, make_train_step,
     )
 
-    B, V, H, W, D, steps, lr = 1, 3, 64, 96, 16, 8, 1e-3
-    batches = _batches(steps, B, V, H, W, D)
-
-    # ---- ours ----
     model = MVSNet()
     variables = model.init(
         jax.random.PRNGKey(3),
@@ -70,13 +73,20 @@ def test_bn_pooling_does_not_change_convergence():
     )
     state = TrainState.create(variables, make_optimizer(lambda s: lr))
     step = jax.jit(make_train_step(model))
-    ours = []
+    losses = []
     for b in batches:
         state, aux = step(state, {k: jnp.asarray(v) for k, v in b.items()})
-        ours.append(float(aux["loss"]))
+        losses.append(float(aux["loss"]))
+    return losses, variables
 
-    # ---- reference (CPU torch), identical init weights ----
+
+def _train_reference(batches, lr, variables):
+    """The actual reference trainer (CPU torch) from the same weights."""
     import sys
+
+    import torch
+
+    from scene_3dreconstruction_mvsnet_tpu.interop import export_torch_state_dict
 
     sys.path.insert(0, "/root/reference")
     from models.mvsnet import MVSNet as TorchMVSNet, mvsnet_loss  # noqa: E402
@@ -91,7 +101,7 @@ def test_bn_pooling_does_not_change_convergence():
     assert all("refine" in m for m in missing), missing
     tmodel.train()
     opt = torch.optim.Adam(tmodel.parameters(), lr=lr, betas=(0.9, 0.999))
-    theirs = []
+    losses = []
     for b in batches:
         opt.zero_grad()
         imgs = torch.from_numpy(
@@ -107,7 +117,16 @@ def test_bn_pooling_does_not_change_convergence():
         )
         loss.backward()
         opt.step()
-        theirs.append(float(loss.detach()))
+        losses.append(float(loss.detach()))
+    return losses
+
+
+@pytest.mark.slow
+def test_bn_pooling_does_not_change_convergence():
+    B, V, H, W, D, steps, lr = 1, 3, 64, 96, 16, 8, 1e-3
+    batches = _batches(steps, B, V, H, W, D)
+    ours, variables = _train_ours(batches, lr)
+    theirs = _train_reference(batches, lr, variables)
 
     rel = [abs(a - b) / max(abs(b), 1e-6) for a, b in zip(ours, theirs)]
     print("ours:  ", [f"{x:.4f}" for x in ours])
@@ -126,3 +145,27 @@ def test_bn_pooling_does_not_change_convergence():
     h = len(ours) // 2
     assert np.mean(ours[h:]) < np.mean(ours[:h]), ours
     assert np.mean(theirs[h:]) < np.mean(theirs[:h]), theirs
+
+
+@pytest.mark.slow
+def test_bn_pooling_convergence_long():
+    """200 optimization steps over a repeating 4-batch cycle: the two
+    trainers' loss plateaus must land together (VERDICT round-2 item 9)."""
+    # H, W divisible by 32 and D by 8 (the 3D U-Net strides depth and the
+    # feature-res spatial dims three times each)
+    B, V, H, W, D, lr = 1, 3, 64, 64, 16, 1e-3
+    cycle = _batches(4, B, V, H, W, D, seed=7)
+    batches = [cycle[i % len(cycle)] for i in range(200)]
+    ours, variables = _train_ours(batches, lr)
+    theirs = _train_reference(batches, lr, variables)
+
+    o0, t0 = np.mean(ours[:20]), np.mean(theirs[:20])
+    o1, t1 = np.mean(ours[-30:]), np.mean(theirs[-30:])
+    print(f"ours  first20={o0:.4f} last30={o1:.4f}")
+    print(f"theirs first20={t0:.4f} last30={t1:.4f}")
+    # both trainers must have genuinely descended on the fixed cycle
+    assert o1 < 0.5 * o0, (o0, o1)
+    assert t1 < 0.5 * t0, (t0, t1)
+    # and the final plateaus must match within a bounded relative delta:
+    # the pooled-view BN statistics do not change where training converges
+    assert abs(o1 - t1) / max(t1, 1e-6) < 0.15, (o1, t1)

@@ -8,6 +8,12 @@ Each process initializes the distributed runtime, builds a global
 globally-sharded array from process-local shards, and checks a jitted global
 reduction — the collective rides the distributed runtime exactly as a
 gradient psum would in the sharded train step.
+
+test_two_process_full_train_step goes further: the REAL MVSNet sharded
+train step (make_sharded_train_step, params replicated, batch over 'data',
+cost-volume depth over 'sweep') runs two SGD steps over the 2-process
+global mesh, and the parent asserts the per-step losses and final params
+norm match the same recipe on its own single-process 8-device mesh.
 """
 
 import os
@@ -62,6 +68,71 @@ print(f"proc{pid} MULTIHOST-OK {got}")
 """
 
 
+_TRAIN_WORKER = r"""
+import os, sys
+import numpy as np
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
+from scene_3dreconstruction_mvsnet_tpu.parallel import (
+    initialize_multihost, make_global_mesh, make_sharded_train_step,
+)
+from scene_3dreconstruction_mvsnet_tpu.parallel.sharding import (
+    _BATCH_FIELDS, volume_sharding,
+)
+from tests.test_parallel import _tiny_batch
+
+initialize_multihost(
+    coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
+)
+assert jax.process_count() == nproc
+mesh = make_global_mesh(sweep=2)
+assert mesh.shape == {"data": 4, "sweep": 2}, mesh.shape
+
+batch_np = _tiny_batch(np.random.RandomState(0), B=4)
+model = MVSNet(volume_sharding=volume_sharding(mesh))
+
+# global batch arrays: every process holds the full value; each assembles
+# the shards its local devices own
+bs = NamedSharding(mesh, P("data"))
+batch = {
+    k: jax.make_array_from_callback(v.shape, bs, lambda idx, v=v: v[idx])
+    for k, v in batch_np.items()
+}
+assert all(k in _BATCH_FIELDS for k in batch)
+
+# init on replicated global inputs so the variables come out as global
+# (replicated) arrays usable from every process
+rep = NamedSharding(mesh, P())
+init_args = [
+    jax.make_array_from_callback(v.shape, rep, lambda idx, v=v: v[idx])
+    for v in (batch_np["imgs"], batch_np["proj_matrices"],
+              batch_np["depth_values"])
+]
+variables = jax.jit(model.init, out_shardings=rep)(
+    jax.random.PRNGKey(0), *init_args
+)
+
+state, train_step, _ = make_sharded_train_step(
+    model, optax.sgd(1e-3), mesh, variables
+)
+losses = []
+for _ in range(2):
+    state, aux = train_step(state, batch)
+    losses.append(float(jax.block_until_ready(aux["loss"])))
+pnorm = float(jax.jit(optax.global_norm, out_shardings=rep)(state.params))
+print(f"proc{pid} TRAINSTEP-OK {losses[0]:.6e} {losses[1]:.6e} {pnorm:.6e}")
+"""
+
+
 def test_two_process_cpu_multihost(tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -75,6 +146,9 @@ def test_two_process_cpu_multihost(tmp_path):
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        os.path.expanduser("~"), ".cache", "scene3d_mvsnet_jax"
+    )
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
 
     procs = [
@@ -92,3 +166,81 @@ def test_two_process_cpu_multihost(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
         assert f"proc{pid} MULTIHOST-OK" in out, out[-3000:]
+
+
+@pytest.mark.slow
+def test_two_process_full_train_step(tmp_path):
+    """The real MVSNet sharded train step over 2 processes x 4 devices:
+    losses and final params norm must match the single-process 8-device
+    run of the identical recipe (same seeds, same batch, SGD)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
+    from scene_3dreconstruction_mvsnet_tpu.parallel import (
+        make_mesh, make_sharded_train_step,
+    )
+    from scene_3dreconstruction_mvsnet_tpu.parallel.sharding import (
+        volume_sharding,
+    )
+    from tests.test_parallel import _tiny_batch
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "train_worker.py"
+    worker.write_text(_TRAIN_WORKER)
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        os.path.expanduser("~"), ".cache", "scene3d_mvsnet_jax"
+    )
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2", str(port)],
+            env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+
+    # expected: identical recipe on this process's own 8-device mesh,
+    # computed while the workers run
+    batch_np = _tiny_batch(np.random.RandomState(0), B=4)
+    mesh = make_mesh(data=4, sweep=2)
+    model = MVSNet(volume_sharding=volume_sharding(mesh))
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch_np["imgs"]),
+        jnp.asarray(batch_np["proj_matrices"]),
+        jnp.asarray(batch_np["depth_values"]),
+    )
+    state, train_step, shard_fn = make_sharded_train_step(
+        model, optax.sgd(1e-3), mesh, variables
+    )
+    want = []
+    sharded = shard_fn(batch_np)
+    for _ in range(2):
+        state, aux = train_step(state, sharded)
+        want.append(float(aux["loss"]))
+    want.append(float(optax.global_norm(state.params)))
+
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=560)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if "TRAINSTEP-OK" in l]
+        assert line, out[-3000:]
+        got = [float(x) for x in line[0].split()[-3:]]
+        np.testing.assert_allclose(got, want, rtol=1e-4)
