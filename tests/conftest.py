@@ -29,9 +29,27 @@ assert jax.device_count() == 8, jax.devices()
 # (measured 12.1 -> 3.1 s on a toy program; the sharded train step alone
 # compiles for minutes). First run is cold; every later run — including
 # re-runs of the slow tier — hits the cache.
+#
+# The dir is keyed by the host CPU model: XLA:CPU AOT cache entries embed
+# the compile machine's feature set, and the loader only WARNS (risking
+# SIGILL / wrong code) when executing an entry from a different machine —
+# observed when a cache written on one round's host was read on another.
+def _cpu_tag() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    name = line.split(":", 1)[1].strip()
+                    return "".join(c if c.isalnum() else "-" for c in name)[:48]
+    except OSError:
+        pass
+    return "unknown-cpu"
+
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.expanduser("~"), ".cache", "scene3d_mvsnet_jax"),
+    os.path.join(os.path.expanduser("~"), ".cache",
+                 f"scene3d_mvsnet_jax_{_cpu_tag()}"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

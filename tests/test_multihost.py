@@ -117,18 +117,36 @@ init_args = [
     for v in (batch_np["imgs"], batch_np["proj_matrices"],
               batch_np["depth_values"])
 ]
-variables = jax.jit(model.init, out_shardings=rep)(
-    jax.random.PRNGKey(0), *init_args
-)
+
+# The first EXECUTION of a cross-process collective creates its Gloo
+# context, whose peer-exchange has a hard 30 s deadline. Big XLA:CPU
+# compiles on this 1-core box can skew the two workers by minutes (worse
+# when the persistent compile cache holds entries from a different
+# machine: one process loads, the other recompiles). So: compile
+# everything AOT first (compilation is process-local, no collectives),
+# then rendezvous on a coordination-service barrier (10-min budget),
+# and only then execute — both processes hit the Gloo exchange within
+# milliseconds of each other.
+from jax._src import distributed
+
+init_fn = jax.jit(model.init, out_shardings=rep)
+init_exe = init_fn.lower(jax.random.PRNGKey(0), *init_args).compile()
+distributed.global_state.client.wait_at_barrier("init_compiled", 600_000)
+variables = init_exe(jax.random.PRNGKey(0), *init_args)
 
 state, train_step, _ = make_sharded_train_step(
     model, optax.sgd(1e-3), mesh, variables
 )
+step_exe = train_step.lower(state, batch).compile()
+norm_fn = jax.jit(optax.global_norm, out_shardings=rep)
+norm_exe = norm_fn.lower(state.params).compile()
+distributed.global_state.client.wait_at_barrier("step_compiled", 600_000)
+
 losses = []
 for _ in range(2):
-    state, aux = train_step(state, batch)
+    state, aux = step_exe(state, batch)
     losses.append(float(jax.block_until_ready(aux["loss"])))
-pnorm = float(jax.jit(optax.global_norm, out_shardings=rep)(state.params))
+pnorm = float(norm_exe(state.params))
 print(f"proc{pid} TRAINSTEP-OK {losses[0]:.6e} {losses[1]:.6e} {pnorm:.6e}")
 """
 
@@ -146,8 +164,11 @@ def test_two_process_cpu_multihost(tmp_path):
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
-        os.path.expanduser("~"), ".cache", "scene3d_mvsnet_jax"
+    # same (host-CPU-keyed) cache dir the parent uses — see conftest.py
+    import jax as _jax
+
+    env["JAX_COMPILATION_CACHE_DIR"] = (
+        _jax.config.jax_compilation_cache_dir or ""
     )
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
 
@@ -199,8 +220,11 @@ def test_two_process_full_train_step(tmp_path):
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
-        os.path.expanduser("~"), ".cache", "scene3d_mvsnet_jax"
+    # same (host-CPU-keyed) cache dir the parent uses — see conftest.py
+    import jax as _jax
+
+    env["JAX_COMPILATION_CACHE_DIR"] = (
+        _jax.config.jax_compilation_cache_dir or ""
     )
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
 
@@ -213,8 +237,15 @@ def test_two_process_full_train_step(tmp_path):
         for pid in range(2)
     ]
 
-    # expected: identical recipe on this process's own 8-device mesh,
-    # computed while the workers run
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=560)
+        outs.append(out)
+
+    # expected: identical recipe on this process's own 8-device mesh.
+    # Computed AFTER the workers finish — this box has 1 core, and a
+    # concurrent parent compile starves the workers' Gloo collective
+    # context exchange past its hard 30 s deadline.
     batch_np = _tiny_batch(np.random.RandomState(0), B=4)
     mesh = make_mesh(data=4, sweep=2)
     model = MVSNet(volume_sharding=volume_sharding(mesh))
@@ -233,11 +264,6 @@ def test_two_process_full_train_step(tmp_path):
         state, aux = train_step(state, sharded)
         want.append(float(aux["loss"]))
     want.append(float(optax.global_norm(state.params)))
-
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=560)
-        outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
         line = [l for l in out.splitlines() if "TRAINSTEP-OK" in l]
