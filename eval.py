@@ -69,6 +69,10 @@ parser.add_argument("--flat_features", action="store_true",
                          "(ops/flat_conv.py, ~2x on TPU; same param tree)")
 parser.add_argument("--flat_costreg", action="store_true",
                     help="CostRegNet in the flat block-Toeplitz layout")
+parser.add_argument("--pallas_conv0", action="store_true",
+                    help="fused Pallas streaming kernel for CostRegNet conv0 "
+                         "(requires --flat_costreg and --dtype bfloat16; "
+                         "ops/pallas/conv0_fused.py)")
 parser.add_argument("--img_cache", default=None,
                     help="directory for a pre-decoded image cache (first "
                          "epoch populates it; later reads are mmap loads)")
@@ -167,6 +171,8 @@ def main() -> None:
 
     if args.pallas_sweep and args.dtype != "bfloat16":
         parser.error("--pallas_sweep requires --dtype bfloat16")
+    if args.pallas_conv0 and not (args.flat_costreg and args.dtype == "bfloat16"):
+        parser.error("--pallas_conv0 requires --flat_costreg and --dtype bfloat16")
     model = MVSNet(
         refine=False,
         depth_chunk=args.depth_chunk,
@@ -174,6 +180,7 @@ def main() -> None:
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
         flat_features=args.flat_features,
         flat_costreg=args.flat_costreg,
+        pallas_conv0=args.pallas_conv0,
     )
 
     cam_subfolder = args.cam_subfolder or DICT_CAM_SUBFOLDER[args.dataset_name]

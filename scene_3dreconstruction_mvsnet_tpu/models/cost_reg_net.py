@@ -29,12 +29,61 @@ from .blocks import (
     FlatConvBnReLU3D,
     FlatConvTransposeBnReLU3D,
     FlatDecomposedConv3d,
+    _FlatBatchNormParams,
+    _ParamHolder,
+    _flat_bn_relu,
 )
+
+
+class FusedFlatConv0(nn.Module):
+    """conv0 (= ConvBnReLU3D(8) on the 32-channel cost volume) through the
+    fused Pallas streaming kernel (ops/pallas/conv0_fused.py) at eval, the
+    XLA flat path at train/init. Parameter tree identical to
+    FlatConvBnReLU3D(8, ci=32): 'conv/kernel' [3,3,3,32,8] + 'bn/...'.
+
+    Takes the UNPACKED volume [B, D, H, W, 32] (the kernel packs its own
+    wide layout in one reshape) and returns the standard flat volume
+    [B, D, H, nGo, 128] that conv1 (ci=8) consumes.
+    """
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        import jax
+
+        kernel = _ParamHolder((3, 3, 3, 32, 8), name="conv")()
+        scale, bias, ra_mean, ra_var = _FlatBatchNormParams(8, name="bn")()
+        dtype = self.dtype or x.dtype
+        B, D, H, W, C = x.shape
+
+        if train or self.is_initializing():
+            # differentiable / batch-stats path (also runs at init so the
+            # Pallas kernel never executes in interpret mode there)
+            from ..ops.flat_conv import (
+                flat_conv3d_k3_decomposed, mask_tail, pack_flat,
+            )
+
+            xf, _ = pack_flat(x.reshape(B * D, H, W, C).astype(dtype))
+            xf = mask_tail(xf, C, W).reshape(B, D, H, -1, 128)
+            yf = flat_conv3d_k3_decomposed(xf, kernel.astype(dtype), 1, W)
+            return _flat_bn_relu(
+                yf, 8, W, train, (scale, bias, ra_mean, ra_var),
+                self.is_initializing(), True, dtype,
+            )
+
+        from ..ops.pallas.conv0_fused import conv0_bn_relu_fused
+
+        return conv0_bn_relu_fused(
+            x, kernel, scale, bias, ra_mean.value, ra_var.value,
+            interpret=jax.default_backend() != "tpu",
+        )
 
 
 class CostRegNet(nn.Module):
     dtype: Any = None
     flat: bool = False
+    pallas_conv0: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -60,8 +109,6 @@ class CostRegNet(nn.Module):
         d = self.dtype
         B, D, H, W, C = x.shape
         dtype = d or x.dtype
-        xf, _ = pack_flat(x.reshape(B * D, H, W, C).astype(dtype))
-        xf = mask_tail(xf, C, W).reshape(B, D, H, xf.shape[-2], 128)
 
         def cbr(name, co, s, ci, inp, Wi):
             Wo = (Wi + 2 - 3) // s + 1
@@ -70,7 +117,16 @@ class CostRegNet(nn.Module):
             )
             return mask_tail(y, co, Wo), Wo
 
-        conv0, W0 = cbr("conv0", 8, 1, 32, xf, W)
+        # conv0 (32->8) is the widest-input layer; the fused Pallas kernel
+        # streams the cost volume from HBM once (bf16 eval path only — the
+        # kernel computes in bf16, so the f32 parity path keeps XLA)
+        if self.pallas_conv0 and d == jnp.bfloat16:
+            y0 = FusedFlatConv0(dtype=d, name="conv0")(x, train)
+            conv0, W0 = mask_tail(y0, 8, W), W
+        else:
+            xf, _ = pack_flat(x.reshape(B * D, H, W, C).astype(dtype))
+            xf = mask_tail(xf, C, W).reshape(B, D, H, xf.shape[-2], 128)
+            conv0, W0 = cbr("conv0", 8, 1, 32, xf, W)
         conv1, W1 = cbr("conv1", 16, 2, 8, conv0, W0)
         conv2, W2 = cbr("conv2", 16, 1, 16, conv1, W1)
         conv3, W3 = cbr("conv3", 32, 2, 16, conv2, W2)

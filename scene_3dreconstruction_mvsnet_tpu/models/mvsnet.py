@@ -84,6 +84,9 @@ class MVSNet(nn.Module):
     use_pallas_regression: bool = False
     flat_features: bool = False
     flat_costreg: bool = False
+    # eval-only fused Pallas conv0 (streams the cost volume from HBM once;
+    # ops/pallas/conv0_fused.py); requires flat_costreg and dtype=bf16
+    pallas_conv0: bool = False
     # (yspan | per-view yspans tuple, pr, pcp)
     pallas_sweep_env: Optional[tuple] = None
     pallas_grad_env: Optional[tuple[int, int, int, int]] = None
@@ -101,7 +104,8 @@ class MVSNet(nn.Module):
             nn.remat(CostRegNet, static_argnums=(2,)) if self.remat else CostRegNet
         )
         self.cost_regularization = cost_reg_cls(
-            dtype=self.dtype, flat=self.flat_costreg
+            dtype=self.dtype, flat=self.flat_costreg,
+            pallas_conv0=self.pallas_conv0 and self.flat_costreg,
         )
         if self.refine:
             self.refine_network = RefineNet(dtype=self.dtype)
