@@ -188,37 +188,26 @@ def save_depth(
     n_views_total = len(test_dataset)
     from ..data.pipeline import BackgroundLoader
 
-    for batch_idx, sample in enumerate(BackgroundLoader(loader)):
-        if batch_idx == 0 and debug_bitmask:
-            from ..utils.debug_dump import debug_forward
+    # Double-buffered dispatch: infer(batch k) is dispatched (async) BEFORE
+    # batch k-1's outputs are pulled to host, so the device computes k while
+    # the host converts/prints/writes k-1. Combined with BackgroundLoader
+    # (decode of k+1 overlaps too), steady-state wall clock per batch is
+    # max(device fwd, host decode+write), not their sum.
+    inflight = None  # (outputs, sample, n_real, t_dispatch)
 
-            debug_forward(
-                model, variables, sample["imgs"], sample["proj_matrices"],
-                sample["depth_values"], debug_bitmask, outdir_acq,
-            )
-        imgs_b = sample["imgs"]
-        projs_b = sample["proj_matrices"]
-        dv_b = sample["depth_values"]
-        n_real = imgs_b.shape[0]
-        if n_real < batch_size:
-            # pad the trailing partial batch by repeating the last view so
-            # the jitted infer keeps a single compiled shape
-            pad = batch_size - n_real
-            imgs_b = np.concatenate([imgs_b, np.repeat(imgs_b[-1:], pad, 0)])
-            projs_b = np.concatenate([projs_b, np.repeat(projs_b[-1:], pad, 0)])
-            dv_b = np.concatenate([dv_b, np.repeat(dv_b[-1:], pad, 0)])
-        t0 = time.time()
-        outputs = infer(
-            variables,
-            jnp.asarray(imgs_b),
-            jnp.asarray(projs_b),
-            jnp.asarray(dv_b),
-        )
+    def _materialize(entry):
+        outputs, sample, n_real, t0 = entry
         depths = np.asarray(outputs["depth"])
         confidences = np.asarray(outputs["photometric_confidence"])
+        # dispatch -> host-materialized: in the overlapped steady state this
+        # bounds the pipeline's per-batch cost (device time + result copy)
         dt = time.time() - t0
         gen_times.extend([dt / n_real] * n_real)
+        return sample, n_real, depths, confidences, dt
 
+    def _emit_batch(done):
+        nonlocal view_idx
+        sample, n_real, depths, confidences, dt = done
         K_b = sample.get("intrinsics")
         E_b = sample.get("extrinsics")
         if K_b is None:
@@ -294,6 +283,38 @@ def save_depth(
                         ),
                         world, vertex_colors[-1],
                     )
+
+    for batch_idx, sample in enumerate(BackgroundLoader(loader)):
+        if batch_idx == 0 and debug_bitmask:
+            from ..utils.debug_dump import debug_forward
+
+            debug_forward(
+                model, variables, sample["imgs"], sample["proj_matrices"],
+                sample["depth_values"], debug_bitmask, outdir_acq,
+            )
+        imgs_b = sample["imgs"]
+        projs_b = sample["proj_matrices"]
+        dv_b = sample["depth_values"]
+        n_real = imgs_b.shape[0]
+        if n_real < batch_size:
+            # pad the trailing partial batch by repeating the last view so
+            # the jitted infer keeps a single compiled shape
+            pad = batch_size - n_real
+            imgs_b = np.concatenate([imgs_b, np.repeat(imgs_b[-1:], pad, 0)])
+            projs_b = np.concatenate([projs_b, np.repeat(projs_b[-1:], pad, 0)])
+            dv_b = np.concatenate([dv_b, np.repeat(dv_b[-1:], pad, 0)])
+        t0 = time.time()
+        outputs = infer(
+            variables,
+            jnp.asarray(imgs_b),
+            jnp.asarray(projs_b),
+            jnp.asarray(dv_b),
+        )
+        prev, inflight = inflight, (outputs, sample, n_real, t0)
+        if prev is not None:
+            _emit_batch(_materialize(prev))
+    if inflight is not None:
+        _emit_batch(_materialize(inflight))
     for f in pending:
         f.result()
     writer.shutdown()
