@@ -63,13 +63,19 @@ def make_sharded_train_step(model, tx, mesh: Mesh, variables: dict):
     carried by the input placements (params replicated, batch over 'data')
     and the model's internal volume constraint; GSPMD does the rest.
 
-    NOTE: this forces the classic GSPMD partitioner. As of jax 0.9 the
-    default Shardy partitioner MISCOMPILES the backward pass when the cost
-    volume carries a two-axis constraint (P('data','sweep')): gradients come
-    out wrong by ~60x of their magnitude while the forward matches (verified
-    on an 8-device CPU mesh; classic GSPMD agrees with single-device to
-    reduction noise). tests/test_parallel.py::test_sharded_matches_single_device
-    pins the correct behavior — re-evaluate the flag when upgrading jax.
+    NOTE — PROCESS-WIDE SIDE EFFECT: this forces the classic GSPMD
+    partitioner via ``jax.config.update('jax_use_shardy_partitioner', False)``
+    and leaves it set. It cannot be scoped: the partitioner choice binds at
+    the train step's first *compile* (the caller's first ``train_step(...)``
+    call), which happens after this function returns. Any jit compiled in
+    the same process afterwards also uses classic GSPMD. Why: as of jax 0.9
+    the default Shardy partitioner MISCOMPILES the backward pass when the
+    cost volume carries a two-axis constraint (P('data','sweep')): gradients
+    come out wrong by ~60x of their magnitude while the forward matches
+    (verified on an 8-device CPU mesh; classic GSPMD agrees with
+    single-device to reduction noise).
+    tests/test_parallel.py::test_sharded_matches_single_device pins the
+    correct behavior — re-evaluate the flag when upgrading jax.
     """
     import jax as _jax
 
