@@ -6,8 +6,11 @@ Prints ONE JSON line:
    "vs_baseline": N, ...}
 
 Config: the BASELINE.md headline — 5 views, 192 depth planes, 864x1152
-images (feature/depth res 216x288), batch 1, single chip. vs_baseline is
-the ratio to the PyTorch reference measured on this container's CPU
+images (feature/depth res 216x288), batch 1, single chip. The rig is an
+inward-looking camera ring (rotation-bearing, like the real DTU/BDS8
+acquisition geometry) — NOT the gather-friendliest translation-only rig;
+rotations are what stress the sweep kernel's window planner. vs_baseline
+is the ratio to the PyTorch reference measured on this container's CPU
 (baseline_cpu.json, produced by scripts/measure_baseline.py; the reference
 publishes no numbers — BASELINE.md).
 """
@@ -23,6 +26,35 @@ WARMUP = 2
 ITERS = 5
 
 
+def _look_at(eye, target, up=(0, 1, 0)):
+    eye = np.asarray(eye, np.float64)
+    z = np.asarray(target, np.float64) - eye
+    z /= np.linalg.norm(z)
+    x = np.cross(np.asarray(up, np.float64), z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    E = np.eye(4)
+    R = np.stack([x, y, z])
+    E[:3, :3] = R
+    E[:3, 3] = -R @ eye
+    return E.astype(np.float32)
+
+
+def ring_projs(n_cams, views, radius, height, target_z, K):
+    """Feature-res projection matrices for `views` of an n_cams inward ring
+    (the DTU/BDS8 overhead acquisition geometry; scripts/bench_configs.py
+    measures the full rig family)."""
+    projs = []
+    for i in views:
+        a = 2 * np.pi * i / n_cams
+        eye = (radius * np.cos(a), radius * np.sin(a), height)
+        E = _look_at(eye, (0.0, 0.0, target_z))
+        P = E.copy()
+        P[:3, :4] = K @ E[:3, :4]
+        projs.append(P)
+    return np.stack(projs)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -34,15 +66,11 @@ def main():
 
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.rand(1, V, H, W, 3).astype(np.float32))
-    K = np.array([[W * 0.7, 0, W / 8], [0, W * 0.7, H / 8], [0, 0, 1]], np.float32)
-    projs = []
-    for v in range(V):
-        E = np.eye(4, dtype=np.float32)
-        E[0, 3] = -2.0 * v
-        P = E.copy()
-        P[:3, :4] = (K / 4.0) @ E[:3, :4]
-        projs.append(P)
-    proj = jnp.asarray(np.stack(projs)[None])
+    # reference camera 0 of a 49-camera inward ring + its 4 nearest ring
+    # neighbours (the DTU eval pairing), intrinsics at feature res (K/4)
+    K = np.array([[W * 1.1, 0, W / 2], [0, W * 1.1, H / 2], [0, 0, 1]], np.float32)
+    projs = ring_projs(49, [0, 1, 48, 2, 47], 150.0, -700.0, 700.0, K / 4.0)
+    proj = jnp.asarray(projs[None])
     dv = jnp.asarray(np.linspace(425, 905, D, dtype=np.float32)[None])
 
     # Fused Pallas plane-sweep variance kernel: window envelope planned per
@@ -55,7 +83,7 @@ def main():
         )
 
         env = suggest_envelope(
-            np.stack(projs)[1:], projs[0], np.asarray(dv[0]), H // 4, W // 4
+            projs[1:], projs[0], np.asarray(dv[0]), H // 4, W // 4
         )
         sweep_env = (env["yspan"], env["pr"], env["pcp"])
 
@@ -120,7 +148,7 @@ def main():
         "value": round(throughput, 4),
         "unit": "depthmaps/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        "config": f"{V} views, {D} planes, {H}x{W}, batch 1, "
+        "config": f"{V} views (49-cam ring), {D} planes, {H}x{W}, batch 1, "
                   f"{'bf16' if on_tpu else 'f32'} convs",
         "seconds_per_depthmap": round(sec, 4),
         "platform": platform,
