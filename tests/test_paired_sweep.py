@@ -63,7 +63,7 @@ def test_family_envelope_merging():
 def test_emit_warps_matches_xla_warp():
     """emit_warps=True returns each source view's warped volume (the values
     the variance accumulates) — checked against the XLA warp oracle."""
-    H, W, C, D, V = 16, 128, 32, 3, 3
+    H, W, C, D, V = 16, 128, 32, 2, 3
     fea, projs, dv = _rig(H, W, C, D, V)
     senv, _ = suggest_family_envelopes([(projs, dv)], H, W)
     fb = jnp.asarray(fea).astype(jnp.bfloat16)
@@ -90,7 +90,7 @@ def test_emit_warps_matches_xla_warp():
 def test_paired_grad_matches_autodiff():
     """Gradients through the paired custom_vjp == XLA autodiff of the same
     bf16 sweep, for every view including the unwarped reference view."""
-    H, W, C, D, V = 16, 128, 32, 3, 3
+    H, W, C, D, V = 16, 128, 32, 2, 3
     fea, projs, dv = _rig(H, W, C, D, V)
     senv, genv = suggest_family_envelopes([(projs, dv)], H, W)
     paired = make_paired_cost_volume(*senv, *genv, interpret=True)
@@ -124,7 +124,7 @@ def test_paired_grad_matches_autodiff():
 def test_paired_flags_out_of_envelope_rig():
     """A rig beyond the envelope must surface valid=False (the paired path
     never falls back — the Trainer is responsible for acting on it)."""
-    H, W, C, D, V = 16, 128, 32, 3, 3
+    H, W, C, D, V = 16, 128, 32, 2, 3
     fea, projs, dv = _rig(H, W, C, D, V, rot_deg=25.0)
     # envelope planned for a near-translation rig
     fea2, projs2, dv2 = _rig(H, W, C, D, V, rot_deg=0.0)

@@ -63,7 +63,7 @@ def test_pack_features_exact_roundtrip(rng):
     ],
 )
 def test_fused_sweep_matches_xla(rot_deg, V):
-    H, W, C, D = 32, 160, 32, 6
+    H, W, C, D = 32, 160, 32, 3
     fea, projs, dv = _rig(H, W, C, D, V, rot_deg=rot_deg)
     fea_bf = jnp.asarray(fea).astype(jnp.bfloat16)
     env = suggest_envelope(projs[1:], projs[0], dv, H, W)
@@ -88,7 +88,7 @@ def test_fused_sweep_matches_xla(rot_deg, V):
 
 
 def test_fused_sweep_flags_unsupported_geometry():
-    H, W, C, D = 32, 160, 32, 6
+    H, W, C, D = 32, 160, 32, 3
     fea, projs, dv = _rig(H, W, C, D, 3, rot_deg=25.0)
     plan = plan_sweep(
         jnp.asarray(projs[1:]), jnp.asarray(projs[0]), jnp.asarray(dv), H, W,
@@ -101,7 +101,7 @@ def test_cost_volume_variance_pallas_dispatch_fallback():
     """cost_volume_variance(pallas_env=...) must produce the XLA result
     (bitwise) via the lax.cond fallback when the envelope is too small for
     the rig."""
-    H, W, C, D = 32, 160, 32, 6
+    H, W, C, D = 32, 160, 32, 3
     fea, projs, dv = _rig(H, W, C, D, 3, rot_deg=25.0)
     env = (2, 16, 256)
     plan = plan_sweep(

@@ -42,7 +42,9 @@ def _rig(H, W, C, D, V=2, rot_deg=0.0, seed=0):
 @pytest.mark.slow
 @pytest.mark.parametrize("rot_deg", [0.0, 2.0])
 def test_warp_grad_matches_autodiff(rot_deg):
-    H, W, C, D = 32, 160, 32, 5
+    # D=3 (was 5): interpret cost is linear in D; plane count does not
+    # change the per-plane window routing being pinned here
+    H, W, C, D = 32, 160, 32, 3
     fea, projs, dv = _rig(H, W, C, D, V=2, rot_deg=rot_deg, seed=1)
     env = suggest_grad_envelope(projs[1:], projs[0], dv, H, W)
     g = np.random.RandomState(2).rand(D, H, W, C).astype(np.float32)
@@ -78,7 +80,7 @@ def test_grad_plan_flags_unsupported_geometry():
 @pytest.mark.slow
 def test_cost_volume_grad_env_matches_autodiff():
     """Full sweep gradients through the custom-VJP path == XLA autodiff."""
-    H, W, C, D, V = 32, 160, 32, 4, 3
+    H, W, C, D, V = 32, 160, 32, 2, 3
     fea, projs, dv = _rig(H, W, C, D, V=V, rot_deg=1.0, seed=3)
     env = suggest_grad_envelope(projs[1:], projs[0], dv, H, W)
     genv = (env["kx"], env["yspan"], env["pr"], env["pcp"])
