@@ -72,6 +72,9 @@ def run_config(name, n_views, hw, ngen, nfilter, ckpt, workdir,
 
     outdir = os.path.join(workdir, f"out_{name}")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # pre-decoded image cache: each of the scan's images is read ~NviewGen
+    # times (once as ref, repeatedly as source); decode once, mmap after
+    img_cache = os.path.join(workdir, f"imgcache_{name}")
     cmd = [
         sys.executable, os.path.join(repo, "eval.py"),
         "--dataset", "dataloader_eval", "--dataset_name", "bds8",
@@ -82,7 +85,7 @@ def run_config(name, n_views, hw, ngen, nfilter, ckpt, workdir,
         "--photomask", "0.3", "--geomask", "3",
         "--condmask_pixel", "1.0", "--condmask_depth", "0.01",
         "--save_ply", "--batch_size", str(batch_size),
-        "--num_workers", "4",
+        "--num_workers", "4", "--img_cache", img_cache,
         "--img_res", str(H), str(W),
         "--cam_subfolder", "Cameras",
         "--img_subfolder", "Rectified/{}/rect_C{:0>3}_L00.png",
