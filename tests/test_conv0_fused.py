@@ -128,3 +128,34 @@ def test_train_path_unaffected():
         ),
         ma, mb,
     )
+
+
+def test_full_mvsnet_pallas_conv0_matches_flat():
+    """Full MVSNet bf16 eval forward with pallas_conv0 == the flat path
+    (integration: the W0/mask_tail handoff into conv1 and the MVSNet
+    wiring gate, /root/reference/models/mvsnet.py:33-73 is the surface)."""
+    from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
+
+    rng = np.random.RandomState(3)
+    B, V, H, W, D = 1, 3, 64, 64, 8
+    imgs = jnp.asarray(rng.rand(B, V, H, W, 3).astype(np.float32))
+    projs = np.broadcast_to(np.eye(4, dtype=np.float32), (B, V, 4, 4)).copy()
+    projs[:, 1, 0, 3] = -1.0
+    projs[:, 2, 0, 3] = 1.0
+    projs = jnp.asarray(projs)
+    dv = jnp.asarray(np.linspace(40.0, 60.0, D, dtype=np.float32)[None])
+
+    kw = dict(refine=False, dtype=jnp.bfloat16, flat_features=True,
+              flat_costreg=True)
+    flat = MVSNet(**kw)
+    fused = MVSNet(**kw, pallas_conv0=True)
+    vs = flat.init(jax.random.PRNGKey(0), imgs, projs, dv)
+
+    a = flat.apply(vs, imgs, projs, dv, train=False)
+    b = fused.apply(vs, imgs, projs, dv, train=False)
+    da, db = np.asarray(a["depth"], np.float32), np.asarray(b["depth"], np.float32)
+    rng_d = 20.0
+    assert np.abs(da - db).max() < 2e-2 * rng_d, np.abs(da - db).max()
+    ca = np.asarray(a["photometric_confidence"], np.float32)
+    cb = np.asarray(b["photometric_confidence"], np.float32)
+    np.testing.assert_allclose(cb, ca, atol=5e-2)
