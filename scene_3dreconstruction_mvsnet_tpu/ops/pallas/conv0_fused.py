@@ -155,13 +155,16 @@ def _kernel(x_ref, wb_ref, sb_ref, out_ref, acc_a, acc_b, *, D, H, nGo,
                     r = d if r is None else r + d
                 # out row h accumulates r at image row h + dh - 1, i.e.
                 # flattened offset nGo*(dh-1); array-edge rows get zero
-                # contribution (the conv's H zero padding).
+                # contribution (the conv's H zero padding). Shift via
+                # concatenate-with-zeros: .at[].add is a scatter-add,
+                # which Mosaic cannot lower.
+                z = jnp.zeros((nGo, LANES), jnp.float32)
                 if dh == 0:
-                    t = t.at[nGo:].add(r[:-nGo])
+                    t = t + jnp.concatenate([z, r[:-nGo]], axis=0)
                 elif dh == 1:
                     t = t + r
                 else:
-                    t = t.at[:-nGo].add(r[nGo:])
+                    t = t + jnp.concatenate([r[nGo:], z], axis=0)
             return t
 
         t2 = conv2d(2)

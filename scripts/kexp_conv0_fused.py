@@ -23,12 +23,13 @@ B, D, H, W = 1, 192, 216, 288
 
 
 def _timed(fn, *args, iters=5, reps=3):
-    r = fn(*args, 0)
-    r.block_until_ready()
+    # fetch the scalar (float()) rather than block_until_ready: under the
+    # axon tunnel block_until_ready does not block (see bench.py notes).
+    float(fn(*args, 0))
     best = float("inf")
     for i in range(reps):
         t = time.perf_counter()
-        fn(*args, i).block_until_ready()
+        float(fn(*args, i + 1))
         best = min(best, (time.perf_counter() - t) / iters)
     return best * 1e3
 
