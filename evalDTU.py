@@ -170,7 +170,14 @@ def main():
     print("argv:", sys.argv[1:])
     print_args(args)
 
-    model = MVSNet(refine=False)
+    # auto depth chunking bounds the sweep's warp-footprint buffers at the
+    # legacy DTU eval res (1200x1600 cropped to 1184x1600; f32 full-D is
+    # ~2.9 GB per buffer) — exact, and a no-op at small/test shapes
+    from scene_3dreconstruction_mvsnet_tpu.eval.depth_gen import auto_depth_chunk
+
+    model = MVSNet(
+        refine=False, depth_chunk=auto_depth_chunk((1200, 1600), args.numdepth)
+    )
     if not args.skip_gen:
         if args.loadckpt is None:
             raise SystemExit("--loadckpt is required")

@@ -133,11 +133,18 @@ def prefetch_to_device(iterator: Iterator[dict], size: int = 2, device=None) -> 
 
 class BackgroundLoader:
     """Wrap a Loader's iteration in a producer thread so host decode fully
-    overlaps device compute (single-process answer to worker processes)."""
+    overlaps device compute (single-process answer to worker processes).
 
-    def __init__(self, loader: Loader, max_queue: int = 2) -> None:
+    ``transform``, if given, is applied to each batch INSIDE the producer
+    thread — host-side batch post-processing (e.g. the u8 transfer-packing
+    in eval stage A) overlaps device compute instead of sitting in the
+    dispatch path."""
+
+    def __init__(self, loader: Loader, max_queue: int = 2,
+                 transform=None) -> None:
         self.loader = loader
         self.max_queue = max_queue
+        self.transform = transform
 
     def __len__(self) -> int:
         return len(self.loader)
@@ -151,6 +158,8 @@ class BackgroundLoader:
         def produce():
             try:
                 for batch in self.loader:
+                    if self.transform is not None:
+                        batch = self.transform(batch)
                     with lock:
                         while len(q) >= self.max_queue:
                             lock.wait()

@@ -45,9 +45,13 @@ def read_img_cached(filename: str, cache_dir: str) -> np.ndarray:
         return np.load(path)
     img = read_img(filename)
     os.makedirs(cache_dir, exist_ok=True)
-    # atomic publish for concurrent loader threads (np.save appends .npy
-    # unless the name already ends with it)
-    tmp = f"{path}.{os.getpid()}.tmp.npy"
+    # atomic publish for concurrent loader THREADS as well as processes:
+    # the tmp name must be unique per writer or two threads decoding the
+    # same image share it and the loser's os.replace finds no source
+    # (np.save appends .npy unless the name already ends with it)
+    import threading
+
+    tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp.npy"
     np.save(tmp, img)
     os.replace(tmp, path)
     return img
@@ -80,7 +84,9 @@ def read_rescale_crop_img_cached(
             return data["img"], intrinsics
     img, intr = read_rescale_crop_img(img_fname, intrinsics, img_res)
     os.makedirs(cache_dir, exist_ok=True)
-    tmp = f"{path}.{os.getpid()}.tmp.npz"
+    import threading
+
+    tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp.npz"
     np.savez(tmp, img=img, intrinsics=intr)
     os.replace(tmp, path)
     return img, intr

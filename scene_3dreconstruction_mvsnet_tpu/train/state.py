@@ -134,6 +134,13 @@ def make_infer_step(model) -> Callable:
 
     @jax.jit
     def infer(variables, imgs, proj_matrices, depth_values):
+        if imgs.dtype == jnp.uint8:
+            # u8 transfer packing: loaders emit exactly-u8/255 images (PIL
+            # resizes in the u8 domain), so shipping u8 and normalizing on
+            # device is lossless and 4x less host->device bandwidth —
+            # measured 3.0 -> 0.96 s per 5-view 864x1152 batch through the
+            # remote-TPU tunnel. dtype is static at trace time.
+            imgs = imgs.astype(jnp.float32) / 255.0
         return model.apply(variables, imgs, proj_matrices, depth_values, train=False)
 
     return infer

@@ -304,3 +304,79 @@ def test_save_depth_batched_matches_single(tmp_path):
             a, _ = read_pfm(str(tmp_path / "b1" / "acq" / "scan1" / sub / f"{v:0>8}.pfm"))
             b, _ = read_pfm(str(tmp_path / "b2" / "acq" / "scan1" / sub / f"{v:0>8}.pfm"))
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+
+def test_auto_depth_chunk():
+    """Stage A must bound the XLA sweep/fallback warp footprint: at the
+    DTU-full eval res the lax.cond fallback branch's full-D buffers are
+    ~34 GB and OOM 16 GB HBM even when the Pallas branch executes
+    (observed live on a v5e; XLA charges the max over cond branches)."""
+    from scene_3dreconstruction_mvsnet_tpu.eval.depth_gen import auto_depth_chunk
+
+    # DTU-full 864x1152 D192: footprint budget forces chunking; the chunk
+    # divides D and its buffer stays within ~budget_elems
+    dc = auto_depth_chunk((864, 1152), 192)
+    assert dc is not None and 192 % dc == 0
+    assert dc * 216 * 288 * 32 <= 100_000_000 + 216 * 288 * 32
+    # matches the hand-tuned bench.py value at this shape
+    assert dc == 48
+    # legacy DTU eval res (1184x1600 after the x32 crop)
+    dc = auto_depth_chunk((1200, 1600), 192)
+    assert dc is not None and 192 % dc == 0
+    # 512x640 D192 chunks in half (protects batched stage A as well)
+    assert auto_depth_chunk((512, 640), 192) == 96
+    # the footprint scales with batch: bs2 halves the chunk
+    assert auto_depth_chunk((512, 640), 192, batch_size=2) == 64
+    assert auto_depth_chunk((864, 1152), 192, batch_size=2) == 24
+    # small/test shapes are untouched
+    assert auto_depth_chunk((128, 160), 96) is None
+    assert auto_depth_chunk((256, 320), 192) is None
+
+
+def test_infer_step_u8_matches_f32():
+    """u8 transfer packing: images that are exactly u8/255 may ship as u8
+    (4x less host->device bandwidth through the TPU tunnel); the jitted
+    infer step normalizes on device. Outputs match the f32 path to float
+    rounding (XLA fuses the on-device /255 into the first conv, so the
+    division's rounding context differs — observed max delta ~1e-7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
+    from scene_3dreconstruction_mvsnet_tpu.train.state import make_infer_step
+
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 256, (1, 2, 64, 96, 3), np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    proj = np.broadcast_to(np.eye(4, dtype=np.float32), (1, 2, 4, 4)).copy()
+    proj = proj + rng.rand(1, 2, 4, 4).astype(np.float32) * 1e-3
+    dv = np.linspace(1.0, 2.0, 16, dtype=np.float32)[None]
+
+    model = MVSNet()
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(f32),
+                           jnp.asarray(proj), jnp.asarray(dv))
+    infer = make_infer_step(model)
+    out_f32 = infer(variables, jnp.asarray(f32), jnp.asarray(proj),
+                    jnp.asarray(dv))
+    out_u8 = infer(variables, jnp.asarray(u8), jnp.asarray(proj),
+                   jnp.asarray(dv))
+    np.testing.assert_allclose(np.asarray(out_f32["depth"]),
+                               np.asarray(out_u8["depth"]),
+                               rtol=0, atol=1e-5)
+
+
+def test_pack_u8_exactness_gate():
+    """_pack_u8 ships exactly-u8/255 batches as u8 and leaves genuinely
+    float-valued images (e.g. a custom dataset's own normalization) on f32."""
+    from scene_3dreconstruction_mvsnet_tpu.eval.depth_gen import _pack_u8 as pack
+
+    exact = {"imgs": (np.arange(48).reshape(1, 1, 4, 4, 3) % 256)
+             .astype(np.float32) / 255.0}
+    out = pack(dict(exact))
+    assert out["imgs_dev"].dtype == np.uint8
+    np.testing.assert_array_equal(
+        out["imgs_dev"].astype(np.float32) / 255.0, exact["imgs"])
+
+    inexact = {"imgs": np.full((1, 1, 4, 4, 3), 0.3333, np.float32)}
+    out = pack(dict(inexact))
+    assert "imgs_dev" not in out

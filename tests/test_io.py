@@ -1,6 +1,8 @@
 """IO codec tests: PFM round trips, cam/pair text round trips, image
 preprocessing semantics, PLY round trip."""
 
+import os
+
 import numpy as np
 import pytest
 from PIL import Image
@@ -141,3 +143,45 @@ def test_ply_roundtrip(tmp_path, rng):
     pts2, cols2 = read_ply(fname)
     np.testing.assert_array_equal(pts2, pts)
     np.testing.assert_array_equal(cols2, cols)
+
+
+def test_cached_reads_thread_safe(tmp_path):
+    """Concurrent loader THREADS decoding the same uncached image must not
+    race on the cache publish: the eval pipeline runs num_workers threads in
+    one process, so a pid-keyed tmp name is shared and the losing thread's
+    os.replace raised FileNotFoundError (observed live in
+    scripts/bench_e2e_eval.py with --num_workers 4)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from scene_3dreconstruction_mvsnet_tpu.io.images import (
+        read_img_cached,
+        read_rescale_crop_img_cached,
+    )
+
+    arr = (np.arange(100 * 80) % 256).reshape(100, 80).astype(np.uint8)
+    Image.fromarray(arr, mode="L").save(tmp_path / "bw.png")
+    cache = str(tmp_path / "cache")
+
+    def hit_npz(_):
+        K = np.array([[100.0, 0, 40.0], [0, 100.0, 50.0], [0, 0, 1]],
+                     np.float32)
+        img, K_out = read_rescale_crop_img_cached(
+            str(tmp_path / "bw.png"), K, (64, 64), cache)
+        return img, K_out
+
+    def hit_npy(_):
+        return read_img_cached(str(tmp_path / "bw.png"), cache)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        npz_results = list(ex.map(hit_npz, range(32)))
+        npy_results = list(ex.map(hit_npy, range(32)))
+
+    ref_img, ref_K = hit_npz(0)
+    for img, K_out in npz_results:
+        np.testing.assert_array_equal(img, ref_img)
+        np.testing.assert_array_equal(K_out, ref_K)
+    for img in npy_results:
+        np.testing.assert_array_equal(img, hit_npy(0))
+    # no leftover tmp files in the cache dir
+    leftovers = [f for f in os.listdir(cache) if ".tmp." in f]
+    assert leftovers == []
