@@ -77,6 +77,10 @@ parser.add_argument("--img_cache", default=None,
                     help="directory for a pre-decoded image cache (first "
                          "epoch populates it; later reads are mmap loads)")
 parser.add_argument("--num_workers", type=int, default=4)
+parser.add_argument("--no_device_store", action="store_true",
+                    help="disable the per-(scan,view) device-resident image "
+                         "store (each image is otherwise uploaded once and "
+                         "reused across the ~NviewGen batches that view it)")
 parser.add_argument("--skip_gen", action="store_true",
                     help="skip stage A (reuse existing depth maps)")
 parser.add_argument("--skip_filter", action="store_true", help="skip stage B")
@@ -139,24 +143,15 @@ DICT_IMG_RES = {
 
 def load_variables(args, model):
     """Load eval variables from an orbax dir or a torch .ckpt file."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
     if args.loadckpt is None:
         raise SystemExit("--loadckpt is required")
     if os.path.isdir(args.loadckpt):
         from scene_3dreconstruction_mvsnet_tpu.train import restore_variables
 
-        h, w = DICT_IMG_RES[args.dataset_name]
-        h, w = (h // 32) * 32, (w // 32) * 32
-        dummy = model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, 2, 64, 64, 3)),
-            jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)),
-            jnp.linspace(1.0, 2.0, 8)[None],
-        )
-        return restore_variables(args.loadckpt, dummy)
+        # restore_variables rebuilds the pytree from checkpoint metadata —
+        # no model.init here (a full MVSNet jit-compile just to shape the
+        # restore template cost ~45 s of eval startup through the tunnel)
+        return restore_variables(args.loadckpt)
     from scene_3dreconstruction_mvsnet_tpu.interop import load_torch_checkpoint
 
     return load_torch_checkpoint(args.loadckpt)
@@ -193,6 +188,7 @@ def main() -> None:
     t_start = time.time()
     if not args.skip_gen:
         variables = load_variables(args, model)
+        print(f"ckpt load: {time.time() - t_start:.2f}s")
         save_depth(
             model,
             variables,
@@ -214,6 +210,7 @@ def main() -> None:
             batch_size=args.batch_size,
             img_cache=args.img_cache,
             pallas_sweep=args.pallas_sweep,
+            device_img_store=not args.no_device_store,
         )
 
     t_stage_a = time.time() - t_start

@@ -100,4 +100,10 @@ class MVSDataset(MVSDatasetBase):
             "extrinsics": np.stack(extrinsics_list),
             "depth_values": depth_values,
             "filename": scan + "/{}/" + f"{view_ids[0]:0>8}" + "{}",
+            # identity of each view slot — lets eval stage A keep a
+            # device-resident per-(scan,view) image store (each image is
+            # used ~nviews times per scan; uploading it once cuts the
+            # host->device image traffic ~nviews x)
+            "view_ids": np.asarray(view_ids, np.int32),
+            "scan": scan,
         }

@@ -6,6 +6,7 @@ from .state import (
     make_train_step,
     make_eval_step,
     make_infer_step,
+    make_infer_step_views,
 )
 from .checkpoint import (
     save_checkpoint,
@@ -27,6 +28,7 @@ __all__ = [
     "make_train_step",
     "make_eval_step",
     "make_infer_step",
+    "make_infer_step_views",
     "save_checkpoint",
     "restore_checkpoint",
     "restore_variables",

@@ -144,3 +144,26 @@ def make_infer_step(model) -> Callable:
         return model.apply(variables, imgs, proj_matrices, depth_values, train=False)
 
     return infer
+
+
+def make_infer_step_views(model, batch_size: int, nviews: int) -> Callable:
+    """Jitted inference step taking per-view DEVICE-RESIDENT images.
+
+    ``imgs_flat`` is a tuple of batch_size*nviews (H, W, 3) u8 arrays that
+    already live on device (eval stage A keeps a per-(scan, view) device
+    store — each image is used ~nviews times per scan, so uploading it once
+    and re-referencing it here cuts host->device image traffic ~nviews x
+    through the TPU tunnel). Stacking + u8->f32 normalization happen
+    on-device inside the jit.
+    """
+
+    @jax.jit
+    def infer(variables, imgs_flat, proj_matrices, depth_values):
+        imgs = jnp.stack([
+            jnp.stack(imgs_flat[b * nviews:(b + 1) * nviews])
+            for b in range(batch_size)
+        ])
+        imgs = imgs.astype(jnp.float32) / 255.0
+        return model.apply(variables, imgs, proj_matrices, depth_values, train=False)
+
+    return infer

@@ -380,3 +380,115 @@ def test_pack_u8_exactness_gate():
     inexact = {"imgs": np.full((1, 1, 4, 4, 3), 0.3333, np.float32)}
     out = pack(dict(inexact))
     assert "imgs_dev" not in out
+
+
+def test_device_image_store_lru():
+    """_DeviceImageStore uploads each (scan, view) once, serves hits from
+    the cache, and LRU-evicts past its byte budget."""
+    from scene_3dreconstruction_mvsnet_tpu.eval.depth_gen import _DeviceImageStore
+
+    img = (np.arange(4 * 6 * 3) % 256).reshape(4, 6, 3).astype(np.uint8)
+    store = _DeviceImageStore(budget_bytes=3 * img.nbytes)
+    a = store.get(("s", 0), img)
+    assert store.uploads == 1
+    assert store.get(("s", 0), img) is a  # hit: same device buffer
+    assert store.uploads == 1
+    store.get(("s", 1), img + 1)
+    store.get(("s", 2), img + 2)
+    assert store.uploads == 3
+    store.get(("s", 3), img + 3)  # over budget: evicts LRU ("s", 0)
+    assert ("s", 0) not in store._entries and ("s", 1) in store._entries
+    b = store.get(("s", 0), img)  # re-upload after eviction
+    assert store.uploads == 5 and b is not a
+    np.testing.assert_array_equal(np.asarray(b), img)
+
+    # gather keys every slot of a batch and respects missing u8 pack
+    sample = {
+        "imgs_dev": np.stack([np.stack([img, img + 1])]),
+        "view_ids": np.array([[7, 8]], np.int32),
+        "scan": ["scanX"],
+    }
+    out = store.gather(sample, 1)
+    assert len(out) == 2 and store.uploads == 7
+    assert store.gather({"view_ids": sample["view_ids"]}, 1) is None
+
+
+@pytest.mark.slow
+def test_save_depth_device_store_matches_plain(tmp_path):
+    """Stage A with the device-resident image store (batch_size=2 incl. a
+    padded trailing batch) must write depth/confidence PFMs matching the
+    store-disabled path: the store only changes WHERE the u8->f32 images
+    come from (device gather of per-view uploads vs per-batch host copy)."""
+    import jax
+    from scene_3dreconstruction_mvsnet_tpu.data.synthetic import (
+        make_eval_tree,
+        write_scan_list,
+    )
+    from scene_3dreconstruction_mvsnet_tpu.eval import save_depth
+    from scene_3dreconstruction_mvsnet_tpu.io.pfm import read_pfm
+    from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
+
+    root = tmp_path / "acq"
+    rig = SyntheticRig(n_views=3, img_hw=(64, 96), baseline=3.0)
+    make_eval_tree(str(root), scan="scan1", rig=rig, ndepths=16)
+    write_scan_list(str(root / "test.txt"), ["scan1"])
+
+    model = MVSNet()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 2, 64, 96, 3)),
+        jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)),
+        jnp.linspace(1.0, 2.0, 16)[None],
+    )
+    kw = dict(
+        dataset="dataloader_eval", dataset_name="bds8",
+        testpath=str(root), testlist=str(root / "test.txt"),
+        NviewGen=3, numdepth=16, interval_scale=1.0,
+        cam_subfolder="Cameras",
+        img_subfolder="Rectified/{}/rect_C{:0>3}_L00.png",
+        img_res=(64, 96), num_workers=0, batch_size=2,
+    )
+    plain = save_depth(model, variables, outdir=str(tmp_path / "plain"),
+                       device_img_store=False, **kw)
+    stored = save_depth(model, variables, outdir=str(tmp_path / "stored"), **kw)
+    assert plain["store_uploads"] == 0
+    # 3 views x 3 slots = 9 slot uses, but only 3 unique images uploaded
+    assert stored["store_uploads"] == 3
+
+    for v in range(3):
+        for sub in ("depth_est", "confidence"):
+            a, _ = read_pfm(str(tmp_path / "plain" / "acq" / "scan1" / sub / f"{v:0>8}.pfm"))
+            b, _ = read_pfm(str(tmp_path / "stored" / "acq" / "scan1" / sub / f"{v:0>8}.pfm"))
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+
+def test_pack_u8_keyed_cache():
+    """With view identity present, _pack_u8 memoizes the rint + exactness
+    check per (scan, view) — each image recurs in ~NviewGen batches — and
+    an inexact image (cached as None) keeps its batches on the f32 path."""
+    from scene_3dreconstruction_mvsnet_tpu.eval.depth_gen import _pack_u8 as pack
+
+    img0 = (np.arange(48).reshape(4, 4, 3) % 256).astype(np.float32) / 255.0
+    img1 = ((np.arange(48).reshape(4, 4, 3) + 7) % 256).astype(np.float32) / 255.0
+    cache: dict = {}
+    batch = {
+        "imgs": np.stack([np.stack([img0, img1])]),
+        "view_ids": np.array([[0, 1]], np.int32),
+        "scan": ["s1"],
+    }
+    out = pack(dict(batch), cache=cache)
+    assert out["imgs_dev"].dtype == np.uint8 and len(cache) == 2
+    np.testing.assert_array_equal(
+        out["imgs_dev"].astype(np.float32) / 255.0, batch["imgs"])
+    # second batch reusing view 1 hits the cache (same u8 buffer object)
+    b2 = {"imgs": np.stack([np.stack([img1, img0])]),
+          "view_ids": np.array([[1, 0]], np.int32), "scan": ["s1"]}
+    out2 = pack(dict(b2), cache=cache)
+    assert out2["imgs_dev"].base is not None or len(cache) == 2
+
+    # inexact image poisons only batches containing it
+    bad = np.full((4, 4, 3), 0.3333, np.float32)
+    b3 = {"imgs": np.stack([np.stack([img0, bad])]),
+          "view_ids": np.array([[0, 9]], np.int32), "scan": ["s1"]}
+    out3 = pack(dict(b3), cache=cache)
+    assert "imgs_dev" not in out3 and cache[("s1", 9)] is None
