@@ -57,6 +57,19 @@ def read_img_cached(filename: str, cache_dir: str) -> np.ndarray:
     return img
 
 
+# In-process LRU over read_rescale_crop_img_cached: eval stage A consumes
+# each image ~NviewGen times per scan (ref once, src repeatedly), and even
+# the warm .npz path re-reads ~60 MB/view from disk at DTU-full on this
+# host. Entries are (img, adjusted_intrinsics) and are returned by
+# REFERENCE — callers must not mutate. Guarded for loader threads.
+_RAM_CACHE: dict = {}
+_RAM_CACHE_BYTES = [0]
+_RAM_CACHE_BUDGET = 768 << 20
+import threading as _threading
+
+_RAM_CACHE_LOCK = _threading.Lock()
+
+
 def read_rescale_crop_img_cached(
     img_fname: str,
     intrinsics: np.ndarray,
@@ -66,6 +79,7 @@ def read_rescale_crop_img_cached(
     """``read_rescale_crop_img`` with an .npz cache of the rescaled/cropped
     image AND its adjusted intrinsics (keyed by source mtime + target res),
     so eval stage A skips both the PNG decode and the resize on re-runs.
+    Hot entries are additionally served from a bounded in-process LRU.
 
     ``intrinsics`` must be the unadjusted camera matrix; the cached adjusted
     matrix is copied into it (same in-place contract as the uncached path).
@@ -77,19 +91,39 @@ def read_rescale_crop_img_cached(
         f"{os.path.abspath(img_fname)}|{st.st_mtime_ns}|{st.st_size}"
         f"|{tuple(img_res)}".encode()
     ).hexdigest()
+
+    with _RAM_CACHE_LOCK:
+        hit = _RAM_CACHE.pop(key, None)
+        if hit is not None:
+            _RAM_CACHE[key] = hit  # re-insert: LRU order = dict order
+            img, intr = hit
+            intrinsics[:] = intr
+            return img, intrinsics
+
     path = os.path.join(cache_dir, key + ".npz")
     if os.path.exists(path):
         with np.load(path) as data:
-            intrinsics[:] = data["intrinsics"]
-            return data["img"], intrinsics
-    img, intr = read_rescale_crop_img(img_fname, intrinsics, img_res)
-    os.makedirs(cache_dir, exist_ok=True)
-    import threading
+            img, intr = data["img"], data["intrinsics"]
+    else:
+        img, intr = read_rescale_crop_img(img_fname, intrinsics.copy(), img_res)
+        os.makedirs(cache_dir, exist_ok=True)
+        import threading
 
-    tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp.npz"
-    np.savez(tmp, img=img, intrinsics=intr)
-    os.replace(tmp, path)
-    return img, intr
+        tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp.npz"
+        np.savez(tmp, img=img, intrinsics=intr)
+        os.replace(tmp, path)
+
+    img = np.asarray(img)
+    img.setflags(write=False)  # shared by reference across loader threads
+    with _RAM_CACHE_LOCK:
+        if key not in _RAM_CACHE:
+            _RAM_CACHE[key] = (img, np.array(intr))
+            _RAM_CACHE_BYTES[0] += img.nbytes
+            while _RAM_CACHE_BYTES[0] > _RAM_CACHE_BUDGET and len(_RAM_CACHE) > 1:
+                old_img, _ = _RAM_CACHE.pop(next(iter(_RAM_CACHE)))
+                _RAM_CACHE_BYTES[0] -= old_img.nbytes
+    intrinsics[:] = intr
+    return img, intrinsics
 
 
 def read_mask(filename: str) -> np.ndarray:
@@ -116,9 +150,18 @@ def resize_img(img01: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
 
 
 def save_image_u8(filename: str, img01: np.ndarray) -> None:
-    """Save a float [0,1] image (H,W[,C]) as an 8-bit PNG."""
+    """Save a float [0,1] image (H,W[,C]) as an 8-bit PNG.
+
+    zlib level 1: the encode runs on the eval writer thread, where level 6
+    cost ~100 ms per full-res view on this 1-core host (every host cycle
+    is stolen from the loader); the artifacts are scratch outputs, not
+    archives."""
     arr = np.clip(np.asarray(img01), 0.0, 1.0)
-    Image.fromarray((arr * 255.0).astype(np.uint8)).save(filename)
+    im = Image.fromarray((arr * 255.0).astype(np.uint8))
+    if filename.endswith(".png"):
+        im.save(filename, compress_level=1)
+    else:
+        im.save(filename)
 
 
 def read_rescale_crop_img(
