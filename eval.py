@@ -14,6 +14,7 @@ import os
 import re
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from scene_3dreconstruction_mvsnet_tpu.eval import filter_depth, save_depth
 from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
@@ -81,6 +82,9 @@ parser.add_argument("--no_device_store", action="store_true",
                     help="disable the per-(scan,view) device-resident image "
                          "store (each image is otherwise uploaded once and "
                          "reused across the ~NviewGen batches that view it)")
+parser.add_argument("--no_overlap_filter", action="store_true",
+                    help="run stage B strictly after stage A instead of "
+                         "filtering each scan as its depth maps finish")
 parser.add_argument("--skip_gen", action="store_true",
                     help="skip stage A (reuse existing depth maps)")
 parser.add_argument("--skip_filter", action="store_true", help="skip stage B")
@@ -185,6 +189,43 @@ def main() -> None:
     acquisition_folder = args.testpath.rstrip("/").split("/")[-1]
     outdir_acq = os.path.join(args.outdir, acquisition_folder)
 
+    def run_filter(scan: str) -> None:
+        scan_id_match = re.findall(r"\d+", scan)
+        scan_id = int(scan_id_match[0]) if scan_id_match else 0
+        out_folder = os.path.join(outdir_acq, scan)
+        plyfilename = os.path.join(outdir_acq, f"mvsnet{scan_id:0>3}_l3.ply")
+        filter_depth(
+            args.testpath,
+            scan,
+            out_folder,
+            plyfilename,
+            outdir_acq=outdir_acq,
+            pairfile=args.pairfile,
+            dataset_name=args.dataset_name,
+            NviewFilter=args.NviewFilter,
+            photomask=args.photomask,
+            geomask=args.geomask,
+            condmask_pixel=args.condmask_pixel,
+            condmask_depth=args.condmask_depth,
+            save_ply=args.save_ply,
+            xy_scale=args.xy_scale,
+            postprocess=args.postprocess,
+            debug_depth_filter=args.debug_depth_filter,
+        )
+
+    # Overlap stage B with stage A across scans: the device idles through
+    # most of host-bound stage A, so each finished scan's filter/fusion
+    # (one fuse_scan launch + host writes) runs on a worker thread while
+    # later scans still generate depth. Single worker keeps scan order.
+    overlap = (
+        not args.skip_gen and not args.skip_filter and not args.no_overlap_filter
+    )
+    filter_pool = ThreadPoolExecutor(max_workers=1) if overlap else None
+    filter_futures: dict = {}
+
+    def on_scan_done(scan: str) -> None:
+        filter_futures[scan] = filter_pool.submit(run_filter, scan)
+
     t_start = time.time()
     if not args.skip_gen:
         variables = load_variables(args, model)
@@ -211,6 +252,7 @@ def main() -> None:
             img_cache=args.img_cache,
             pallas_sweep=args.pallas_sweep,
             device_img_store=not args.no_device_store,
+            on_scan_done=on_scan_done if overlap else None,
         )
 
     t_stage_a = time.time() - t_start
@@ -224,28 +266,12 @@ def main() -> None:
         scans = [line.rstrip() for line in f.readlines() if line.strip()]
 
     for scan in scans:
-        scan_id_match = re.findall(r"\d+", scan)
-        scan_id = int(scan_id_match[0]) if scan_id_match else 0
-        out_folder = os.path.join(outdir_acq, scan)
-        plyfilename = os.path.join(outdir_acq, f"mvsnet{scan_id:0>3}_l3.ply")
-        filter_depth(
-            args.testpath,
-            scan,
-            out_folder,
-            plyfilename,
-            outdir_acq=outdir_acq,
-            pairfile=args.pairfile,
-            dataset_name=args.dataset_name,
-            NviewFilter=args.NviewFilter,
-            photomask=args.photomask,
-            geomask=args.geomask,
-            condmask_pixel=args.condmask_pixel,
-            condmask_depth=args.condmask_depth,
-            save_ply=args.save_ply,
-            xy_scale=args.xy_scale,
-            postprocess=args.postprocess,
-            debug_depth_filter=args.debug_depth_filter,
-        )
+        if scan in filter_futures:
+            filter_futures[scan].result()  # overlapped with stage A
+        else:
+            run_filter(scan)
+    if filter_pool is not None:
+        filter_pool.shutdown()
     print(f"stage B wall: {time.time() - t_b0:.3f}s "
           f"(PFMs in -> masks{' + PLY' if args.save_ply else ''} out)")
     print(f"total wall: {time.time() - t_start:.3f}s")

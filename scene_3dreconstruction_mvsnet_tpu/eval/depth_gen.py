@@ -217,6 +217,7 @@ def save_depth(
     pallas_sweep: bool = False,
     env_samples: int = 4,
     device_img_store: bool = True,
+    on_scan_done=None,
 ) -> dict:
     """Run depth generation for every reference view. Returns timing stats.
 
@@ -329,6 +330,34 @@ def save_depth(
     pending = []
     view_idx = 0
     n_views_total = len(test_dataset)
+
+    # per-scan completion notification: when the LAST view of a scan has
+    # been emitted AND its artifact writes have flushed, fire on_scan_done
+    # (eval.py overlaps stage B of finished scans with stage A of later
+    # ones — the device idles most of host-bound stage A). The notifier is
+    # single-threaded so callbacks fire in scan order.
+    scan_views_left: dict[str, int] = {}
+    scan_futures: dict[str, list] = {}
+    notifier = None
+    if on_scan_done is not None:
+        for meta in getattr(test_dataset, "metas", []):
+            scan_views_left[meta[0]] = scan_views_left.get(meta[0], 0) + 1
+        notifier = ThreadPoolExecutor(max_workers=1)
+
+    def _view_done(scan: str, write_future) -> None:
+        if on_scan_done is None or scan not in scan_views_left:
+            return
+        scan_futures.setdefault(scan, []).append(write_future)
+        scan_views_left[scan] -= 1
+        if scan_views_left[scan] == 0:
+            futs = scan_futures.pop(scan)
+
+            def flush_then_notify(scan=scan, futs=futs):
+                for f in futs:
+                    f.result()
+                on_scan_done(scan)
+
+            pending.append(notifier.submit(flush_then_notify))
     from ..data.pipeline import BackgroundLoader
 
     # Double-buffered dispatch: infer(batch k) is dispatched (async) BEFORE
@@ -387,12 +416,12 @@ def save_depth(
             ref_img = sample["imgs"][b, 0]
             K = K_b[b][0]
             E = E_b[b][0]
-            pending.append(
-                writer.submit(
-                    _write_view, outdir_acq, filename_tpl, ref_img, depth,
-                    confidence, K, E,
-                )
+            wf = writer.submit(
+                _write_view, outdir_acq, filename_tpl, ref_img, depth,
+                confidence, K, E,
             )
+            pending.append(wf)
+            _view_done(filename_tpl.split("/")[0], wf)
 
             if gen_bits:
                 _dump_depth_gen_debug(
@@ -500,6 +529,8 @@ def save_depth(
     for f in pending:
         f.result()
     writer.shutdown()
+    if notifier is not None:
+        notifier.shutdown()
     _mark("writer_drain")
     print(
         "stage A phases (s): "
