@@ -213,6 +213,31 @@ def make_eval_tree(root: str, scan: str = "scan1", rig: SyntheticRig | None = No
     return rig
 
 
+def make_legacy_dtu_eval_tree(root: str, scan: str = "scan1",
+                              rig: SyntheticRig | None = None,
+                              ndepths: int = 8) -> SyntheticRig:
+    """Legacy DTU eval layout (data.dtu_yao_eval + evalDTU.py):
+    Rectified_raw/{scan}/rect_{vid+1:0>3}_3_r5000.png at 1200x1600 (the
+    loader asserts this exact shape and crops the bottom 16 rows), shared
+    Cameras/{vid:0>8}_cam.txt with FULL-res intrinsics (the loader divides
+    by 4 at read), and the pair file inside Cameras/."""
+    rig = rig or SyntheticRig(n_views=3, img_hw=(1200, 1600), z0=500.0,
+                              slope_x=0.1, baseline=25.0, focal=1100.0)
+    assert rig.img_hw == (1200, 1600), "legacy DTU eval is 1200x1600-only"
+    cam_dir = os.path.join(root, "Cameras")
+    img_dir = os.path.join(root, "Rectified_raw", scan)
+    for d in (cam_dir, img_dir):
+        os.makedirs(d, exist_ok=True)
+
+    write_pair_file(os.path.join(cam_dir, "pair.txt"), rig.pair_list())
+    for v in range(rig.n_views):
+        rig.write_cam_file(os.path.join(cam_dir, f"{v:0>8}_cam.txt"), v, ndepths)
+        save_image_u8(
+            os.path.join(img_dir, f"rect_{v + 1:0>3}_3_r5000.png"), rig.render(v)
+        )
+    return rig
+
+
 def write_scan_list(path: str, scans: list[str]) -> None:
     with open(path, "w") as f:
         f.write("\n".join(scans) + "\n")
