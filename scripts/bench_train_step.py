@@ -9,6 +9,9 @@ Usage: python scripts/bench_train_step.py
          [--xla]         # full XLA path (scatter-add backward)
          [--no-paired]   # round-2 path: XLA sweep fwd + Pallas bwd
          [--remat] [--batch N] [--flat]
+         [--sustained]   # time N steps INSIDE one jit (lax.scan over the
+                         # real state carry) — excludes the ~27 ms/call
+                         # tunnel RTT that per-dispatch timing includes
 """
 
 import os
@@ -85,7 +88,37 @@ def main():
         batch["depth_values"],
     )
     state = TrainState.create(variables, make_optimizer(lambda s: 1e-3))
-    step = jax.jit(make_train_step(model))
+    step_fn = make_train_step(model)
+    step = jax.jit(step_fn)
+    mode = f"pallas_grad={use_pallas} paired={paired} flat={flat} remat={remat} B={B}"
+
+    if "--sustained" in sys.argv:
+        # steps chained inside one jit: the real TrainState is the scan
+        # carry, so every step consumes the previous step's params/opt
+        # state; per-step losses are returned (and must decrease) so no
+        # step can be dead-code-eliminated.
+        iters = 5
+
+        @jax.jit
+        def sustained(state, batch):
+            def body(s, _):
+                s2, aux = step_fn(s, batch)
+                return s2, aux["loss"]
+            return jax.lax.scan(body, state, None, length=iters)
+
+        t0 = time.time()
+        _, losses = sustained(state, batch)
+        losses = np.asarray(losses)
+        print(f"compile+first scan: {time.time()-t0:.1f}s losses={losses[:3]}")
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            _, losses = sustained(state, batch)
+            _ = np.asarray(losses)
+            best = min(best, (time.time() - t0) / iters)
+        print(f"train step sustained ({mode}, {V}v {H}x{W} D{D} bf16): "
+              f"{best:.3f} s/step")
+        return
 
     t0 = time.time()
     state, aux = step(state, batch)
@@ -100,8 +133,8 @@ def main():
         state, aux = step(state, batch)
         _ = float(aux["loss"])  # force
     dt = (time.time() - t0) / iters
-    mode = f"pallas_grad={use_pallas} paired={paired} flat={flat} remat={remat} B={B}"
-    print(f"train step ({mode}, {V}v {H}x{W} D{D} bf16): {dt:.2f} s/step")
+    print(f"train step ({mode}, {V}v {H}x{W} D{D} bf16): {dt:.2f} s/step "
+          f"(per-dispatch; --sustained excludes the client RTT)")
 
 
 if __name__ == "__main__":
