@@ -10,11 +10,13 @@ a per-position `pl.when` gate on the extra passes would skip the
 difference at runtime.
 
 This probe computes, entirely on host, the exact local span distribution
-for the bench.py headline rotation rig and the BASELINE rig family:
-fraction of (v, d, row, xb) positions needing k rows, and the implied
-upper bound on saved row passes. Pure planning math (_corner_spans), no
-kernel change — evidence for whether the branchy kernel variant is worth
-its complexity.
+for the bench.py headline rotation rig (camera 0 of the 49-cam inward ring
++ its 4 nearest neighbours): fraction of (v, d, row, xb) positions needing
+k rows, and the implied upper bound on saved row passes. Pure planning
+math (_corner_spans), no kernel change — evidence for whether the branchy
+kernel variant is worth its complexity. Per-view envelopes are asserted
+equal to suggest_envelope()['yspan'] so the probe can't drift from the
+kernel's real planning math.
 """
 
 import os
@@ -29,26 +31,31 @@ import numpy as np
 from bench import ring_projs  # noqa: E402  (headline rig construction)
 
 
-def local_spans(src_proj, ref_proj, depth_values, H, W):
-    """[D, H, nXB] local tap-row need (y_hi - y_lo + 2 clamped to >=2),
-    same corner math as plan_sweep; positions whose window misses the
-    image entirely count as 2 (the kernel still runs them)."""
+def make_local_spans(H, W):
+    """Build a jitted [D, H, nXB] local tap-row need probe: y_hi - y_lo + 1
+    clamped to >=2 — the SAME row count suggest_envelope uses
+    (sweep_variance.py:189) and plan_sweep gates on; positions whose window
+    misses the image entirely count as 2 (the kernel still runs them).
+    Jitted ONCE per (H, W) so per-view calls don't recompile."""
+    import functools
+
     import jax
-    import jax.numpy as jnp
 
     from scene_3dreconstruction_mvsnet_tpu.ops.pallas.sweep_variance import (
         _corner_spans,
     )
 
-    x_lo, x_hi, y_lo, y_hi = jax.jit(
-        lambda s, r, d: _corner_spans(s, r, d, H, W)
-    )(jnp.asarray(src_proj), jnp.asarray(ref_proj), jnp.asarray(depth_values))
-    need = np.asarray(y_hi) - np.asarray(y_lo) + 2
-    inter = (
-        (np.asarray(x_lo) < W) & (np.asarray(x_hi) > 0)
-        & (np.asarray(y_lo) < H) & (np.asarray(y_hi) > 0)
-    )
-    return np.where(inter, np.clip(need, 2, None), 2)
+    spans_fn = jax.jit(functools.partial(_corner_spans, H=H, W=W))
+
+    def local_spans(src_proj, ref_proj, depth_values):
+        x_lo, x_hi, y_lo, y_hi = map(
+            np.asarray, spans_fn(src_proj, ref_proj, depth_values)
+        )
+        need = y_hi - y_lo + 1
+        inter = (x_lo < W) & (x_hi > 0) & (y_lo < H) & (y_hi > 0)
+        return np.where(inter, np.clip(need, 2, None), 2)
+
+    return local_spans
 
 
 def main():
@@ -63,11 +70,25 @@ def main():
     P0 = projs[0]
     depth_values = np.linspace(425, 905, D).astype(np.float32)
 
+    # cross-check: the probe's per-view envelope must equal the planner's
+    from scene_3dreconstruction_mvsnet_tpu.ops.pallas.sweep_variance import (
+        suggest_envelope,
+    )
+
+    planner_yspans = suggest_envelope(
+        np.stack(projs[1:]), P0, depth_values, h4, w4
+    )["yspan"]
+
+    local_spans = make_local_spans(h4, w4)
     total_rows = 0
     total_needed = 0.0
     for i, P in enumerate(projs[1:], start=1):
-        spans = local_spans(P, P0, depth_values, h4, w4)
+        spans = local_spans(P, P0, depth_values)
         env = int(spans.max())
+        assert env == planner_yspans[i - 1], (
+            f"probe envelope {env} != suggest_envelope "
+            f"{planner_yspans[i - 1]} for src view {i}"
+        )
         hist = {
             int(k): float((spans == k).mean()) for k in np.unique(spans)
         }

@@ -88,8 +88,19 @@ def _train_reference(batches, lr, variables):
 
     from scene_3dreconstruction_mvsnet_tpu.interop import export_torch_state_dict
 
+    # Import the reference model, then drop the path entry again: leaving
+    # /root/reference at sys.path[0] makes a later `import evalDTU` in another
+    # test resolve to the REFERENCE's evalDTU.py (which imports open3d) —
+    # an ordering-dependent ModuleNotFoundError. The imported modules stay
+    # cached in sys.modules, which is all this function needs.
     sys.path.insert(0, "/root/reference")
-    from models.mvsnet import MVSNet as TorchMVSNet, mvsnet_loss  # noqa: E402
+    try:
+        from models.mvsnet import (  # noqa: E402
+            MVSNet as TorchMVSNet,
+            mvsnet_loss,
+        )
+    finally:
+        sys.path.remove("/root/reference")
 
     tmodel = TorchMVSNet(refine=False)
     sd = {

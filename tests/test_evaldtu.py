@@ -68,7 +68,18 @@ def test_evaldtu_filter_quirks(tmp_path):
     z = z0 + slope_x * x WITHOUT the 1.0531 x/y scale (the unified eval
     applies it; the legacy driver must not — reference evalDTU.py:425-427);
     colors equal the [0::4, 0::4]-subsampled raw image."""
-    import evalDTU
+    # Load OUR evalDTU.py by explicit path: a bare `import evalDTU` resolves
+    # to /root/reference/evalDTU.py if any earlier test left the reference
+    # on sys.path (ordering-dependent open3d ModuleNotFoundError).
+    import importlib.util
+
+    _spec = importlib.util.spec_from_file_location(
+        "repo_evalDTU",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "evalDTU.py"),
+    )
+    evalDTU = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(evalDTU)
     from scene_3dreconstruction_mvsnet_tpu.io.pfm import save_pfm
     from scene_3dreconstruction_mvsnet_tpu.io.ply import read_ply
 

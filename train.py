@@ -75,7 +75,8 @@ parser.add_argument("--pallas_sweep", action="store_true",
                          "(requires --dtype bfloat16). Together with "
                          "--pallas_grad this enables the fully paired "
                          "custom-VJP training sweep (ops/paired_sweep.py); "
-                         "plan validity is checked every step (--plan_check)")
+                         "plan validity accumulates on device and is checked "
+                         "at the --summary_freq cadence (--plan_check)")
 parser.add_argument("--env_samples", type=int, default=8,
                     help="number of training samples (spread across the "
                          "dataset) used to plan the Pallas kernel window "
@@ -84,7 +85,14 @@ parser.add_argument("--plan_check", default="raise",
                     choices=["raise", "warn", "off"],
                     help="what to do when a batch's geometry exceeds the "
                          "paired-sweep kernel envelope mid-training "
-                         "(gradients would be untrustworthy)")
+                         "(gradients would be untrustworthy). Validity is "
+                         "accumulated on device and synced every "
+                         "summary_freq steps (no per-step host sync), so up "
+                         "to summary_freq-1 steps can run on bad gradients "
+                         "before the raise; the epoch-end check always "
+                         "precedes checkpointing, so no saved checkpoint "
+                         "contains unchecked steps. The raise names the "
+                         "earliest possibly-affected global step")
 parser.add_argument("--flat_features", action="store_true",
                     help="run FeatureNet in the flat block-Toeplitz layout "
                          "(ops/flat_conv.py, ~2x on TPU; same param tree, "
