@@ -77,6 +77,12 @@ parser.add_argument("--pallas_conv0", action="store_true",
 parser.add_argument("--img_cache", default=None,
                     help="directory for a pre-decoded image cache (first "
                          "epoch populates it; later reads are mmap loads)")
+parser.add_argument("--aot_cache", default=None,
+                    help="directory for the compiled-executable cache "
+                         "(utils/aot_cache.py): later processes with the "
+                         "same model config + batch geometry skip the ~20 s "
+                         "XLA compile. Defaults to <img_cache>/aot when "
+                         "--img_cache is set; pass 'off' to disable")
 parser.add_argument("--num_workers", type=int, default=4)
 parser.add_argument("--no_device_store", action="store_true",
                     help="disable the per-(scan,view) device-resident image "
@@ -182,6 +188,11 @@ def main() -> None:
         pallas_conv0=args.pallas_conv0,
     )
 
+    if args.aot_cache == "off":
+        args.aot_cache = None
+    elif args.aot_cache is None and args.img_cache:
+        args.aot_cache = os.path.join(args.img_cache, "aot")
+
     cam_subfolder = args.cam_subfolder or DICT_CAM_SUBFOLDER[args.dataset_name]
     img_subfolder = args.img_subfolder or DICT_IMG_SUBFOLDER[args.dataset_name]
     img_res = tuple(args.img_res) if args.img_res else DICT_IMG_RES[args.dataset_name]
@@ -211,6 +222,7 @@ def main() -> None:
             xy_scale=args.xy_scale,
             postprocess=args.postprocess,
             debug_depth_filter=args.debug_depth_filter,
+            aot_cache=args.aot_cache,
         )
 
     # Overlap stage B with stage A across scans: the device idles through
@@ -253,6 +265,7 @@ def main() -> None:
             pallas_sweep=args.pallas_sweep,
             device_img_store=not args.no_device_store,
             on_scan_done=on_scan_done if overlap else None,
+            aot_cache=args.aot_cache,
         )
 
     t_stage_a = time.time() - t_start

@@ -218,6 +218,7 @@ def save_depth(
     env_samples: int = 4,
     device_img_store: bool = True,
     on_scan_done=None,
+    aot_cache: str | None = None,
 ) -> dict:
     """Run depth generation for every reference view. Returns timing stats.
 
@@ -306,7 +307,16 @@ def save_depth(
                   f"B={batch_size})")
             model = model.clone(depth_chunk=dc)
     loader = Loader(test_dataset, batch_size=batch_size, num_workers=num_workers)
-    infer = make_infer_step(model)
+    # ``aot_cache`` wraps each jitted step in an on-disk compiled-executable
+    # cache: later processes with the same model config + batch geometry
+    # skip the ~20 s XLA compile entirely (utils/aot_cache.py; JAX's
+    # persistent compile cache does not engage under the axon plugin)
+    from ..utils.aot_cache import AotGate
+
+    infer = AotGate(
+        make_infer_step(model), aot_cache, ("infer", repr(model)),
+        label="infer",
+    )
     store = _DeviceImageStore() if device_img_store else None
     infer_views = None  # built lazily on the first store-served batch
 
@@ -498,8 +508,11 @@ def save_depth(
             if infer_views is None:
                 from ..train.state import make_infer_step_views
 
-                infer_views = make_infer_step_views(
-                    model, batch_size, sample["view_ids"].shape[1]
+                nv = sample["view_ids"].shape[1]
+                infer_views = AotGate(
+                    make_infer_step_views(model, batch_size, nv),
+                    aot_cache, ("infer_views", repr(model), batch_size, nv),
+                    label="infer_views",
                 )
             outputs = infer_views(
                 variables,

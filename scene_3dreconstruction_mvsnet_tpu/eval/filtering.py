@@ -225,6 +225,7 @@ def fuse_scan(
     condmask_pixel: float = 1.0,
     condmask_depth: float = 0.01,
     ref_chunk: int = 8,
+    aot_cache: str | None = None,
 ):
     """Whole-scan filter in ONE device launch (vs the reference's CPU loop
     over (ref, src) pairs, /root/reference/eval.py:620-706).
@@ -255,14 +256,37 @@ def fuse_scan(
         src_idx = np.concatenate([src_idx, np.repeat(src_idx[:1], pad, 0)])
         src_valid = np.concatenate([src_valid, np.repeat(src_valid[:1], pad, 0)])
 
-    photo, geo, final, depth_avg = _fuse_scan_device(
+    fuse_args = (
         jnp.asarray(depths), jnp.asarray(confidences),
         jnp.asarray(Ks), jnp.asarray(Es),
         jnp.asarray(ref_idx), jnp.asarray(src_idx), jnp.asarray(src_valid),
         jnp.float32(photomask), jnp.int32(geomask),
         jnp.float32(condmask_pixel), jnp.float32(condmask_depth),
-        ref_chunk=ck,
     )
+    if aot_cache is not None:
+        # compiled-executable cache: repeat scans of the same rig geometry
+        # (serving) and fresh processes skip the fuse compile entirely.
+        # _fuse_scan_device takes ref_chunk as a static kwarg; present
+        # load_or_compile with a shim that pins it (callable for the
+        # cache-bypassed platforms, .lower() for the caching path).
+        from ..utils.aot_cache import load_or_compile
+
+        class _FuseShim:
+            def __call__(self, *a):
+                return _fuse_scan_device(*a, ref_chunk=ck)
+
+            def lower(self, *a):
+                return _fuse_scan_device.lower(*a, ref_chunk=ck)
+
+        fuse_fn = load_or_compile(
+            _FuseShim(), aot_cache, ("fuse_scan", ck), fuse_args,
+            label="fuse_scan",
+        )
+        photo, geo, final, depth_avg = fuse_fn(*fuse_args)
+    else:
+        photo, geo, final, depth_avg = _fuse_scan_device(
+            *fuse_args, ref_chunk=ck,
+        )
     photo, geo, final, depth_avg = (
         np.asarray(a)[:R] for a in (photo, geo, final, depth_avg)
     )

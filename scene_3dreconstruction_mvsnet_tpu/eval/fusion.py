@@ -43,6 +43,7 @@ def filter_depth(
     postprocess: bool = False,
     voxel_size: float = 5.0,
     debug_depth_filter: int = 0,
+    aot_cache: str | None = None,
 ) -> dict:
     """Filter + fuse one scan. Returns stats incl. per-view timing and mask
     coverage. File layout matches the reference so outputs are drop-in
@@ -97,6 +98,7 @@ def filter_depth(
         geomask=geomask,
         condmask_pixel=condmask_pixel,
         condmask_depth=condmask_depth,
+        aot_cache=aot_cache,
     )
     t_fuse = time.time() - t_fuse0
     print(
