@@ -17,7 +17,7 @@ from typing import Any
 import jax
 import numpy as np
 
-from ..data.pipeline import BackgroundLoader, Loader
+from ..data.pipeline import BackgroundLoader, Loader, pack_u8_imgs
 from ..utils.misc import DictAverageMeter
 from .checkpoint import find_latest, restore_checkpoint, save_checkpoint
 from .logging import SummaryLogger
@@ -42,10 +42,13 @@ def _scalars(aux: dict) -> dict[str, float]:
 def _images(aux: dict, batch: dict) -> dict[str, Any]:
     depth_est = np.asarray(aux["depth_est"])
     mask = np.asarray(batch["mask"])
+    ref_img = np.asarray(batch["imgs"])[:, 0]
+    if ref_img.dtype == np.uint8:  # u8 transfer packing (pack_u8_imgs)
+        ref_img = ref_img.astype(np.float32) / 255.0
     out = {
         "depth_est": depth_est * mask,
         "depth_gt": np.asarray(batch["depth"]),
-        "ref_img": np.asarray(batch["imgs"])[:, 0],
+        "ref_img": ref_img,
         "mask": mask,
         "errormap": np.abs(depth_est - np.asarray(batch["depth"])) * mask,
         "photo_conf": np.asarray(aux["photometric_confidence"]),
@@ -164,10 +167,18 @@ class Trainer:
         plan_ok = None
         for epoch in range(self.start_epoch, self.epochs):
             print(f"Epoch {epoch}:")
+            t_epoch = time.time()
+            n_samples = 0
             steps = len(self.train_loader)
-            for batch_idx, batch in enumerate(BackgroundLoader(self.train_loader)):
+            # pack_u8_imgs in the producer thread: 4x less host->device
+            # image bandwidth per step (same f32 values enter the network;
+            # see data/pipeline.py)
+            for batch_idx, batch in enumerate(
+                BackgroundLoader(self.train_loader, transform=pack_u8_imgs)
+            ):
                 t0 = time.time()
                 global_step = int(self.state.step)
+                n_samples += int(batch["imgs"].shape[0])
                 self.state, aux = self.train_step(self.state, batch)
                 if "plan_valid" in aux and self.plan_check != "off":
                     plan_ok = (
@@ -200,6 +211,17 @@ class Trainer:
                     )
 
             plan_ok = self._check_plan(plan_ok, epoch, steps - 1)
+            # epoch throughput: the end-to-end number (real input pipeline
+            # + async dispatch), parsed by scripts/bench_train_e2e.py. The
+            # final step's device work may still be in flight; plan_ok sync
+            # above already forced the queue when the paired path is on.
+            jax.block_until_ready(self.state.params)
+            dt_epoch = time.time() - t_epoch
+            print(
+                f"epoch {epoch} train wall: {dt_epoch:.2f}s "
+                f"({n_samples} samples, {n_samples / max(dt_epoch, 1e-9):.3f} "
+                f"samples/s end-to-end)"
+            )
 
             if (epoch + 1) % self.save_freq == 0:
                 path = save_checkpoint(self.logdir, epoch, self.state)
@@ -213,7 +235,9 @@ class Trainer:
     def test(self, epoch: int | None = None) -> dict[str, float]:
         meter = DictAverageMeter()
         variables = self.state.variables
-        for batch_idx, batch in enumerate(BackgroundLoader(self.test_loader)):
+        for batch_idx, batch in enumerate(
+            BackgroundLoader(self.test_loader, transform=pack_u8_imgs)
+        ):
             aux = self.eval_step(variables, batch)
             scalars = _scalars(aux)
             meter.update(scalars)

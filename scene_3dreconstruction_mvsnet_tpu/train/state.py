@@ -65,6 +65,11 @@ def make_train_step(model) -> Callable:
 
     @jax.jit
     def train_step(state: TrainState, batch: dict):
+        # u8 transfer packing (data/pipeline.py::pack_u8_imgs): normalize on
+        # device; dtype is static at trace time so the f32 path is untouched
+        if batch["imgs"].dtype == jnp.uint8:
+            batch = dict(batch, imgs=batch["imgs"].astype(jnp.float32) / 255.0)
+
         def loss_fn(params):
             outputs, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -111,6 +116,8 @@ def make_eval_step(model) -> Callable:
 
     @jax.jit
     def eval_step(variables: dict, batch: dict):
+        if batch["imgs"].dtype == jnp.uint8:
+            batch = dict(batch, imgs=batch["imgs"].astype(jnp.float32) / 255.0)
         outputs = model.apply(
             variables,
             batch["imgs"],

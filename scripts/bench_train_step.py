@@ -1,4 +1,10 @@
-"""Time the training step at the full DTU recipe on one chip.
+"""Time the DEVICE train step at the DTU recipe geometry on one chip.
+
+NOTE: this times the jitted step only, at --batch 1 by default — it is NOT
+the full shipped recipe (scripts/train_DTU.sh trains at batch 4) and it
+excludes the host input pipeline entirely. For the end-to-end number
+(decode + collate + u8 pack + transfer + step, at bs4) run
+scripts/bench_train_e2e.py; BASELINE.md records both.
 
 Round-1: 32 s/step (XLA scatter-add backward + remat recompute).
 Round-2: 0.46 s/step (XLA sweep forward + inverse-warp Pallas backward).

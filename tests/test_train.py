@@ -108,6 +108,57 @@ def test_train_step_decreases_loss(tiny_ds):
     assert int(state.step) == 9
 
 
+def test_u8_transfer_packing_parity(tiny_ds):
+    """pack_u8_imgs + the on-device /255 normalization must reproduce the
+    f32 path: loader images are exactly u8/255 (PIL decodes in the u8
+    domain), so u8.astype(f32)/255 feeds the NETWORK the same f32 values.
+    Downstream results are allclose, not bitwise — XLA may fuse the
+    in-graph /255 into the first conv differently than the precomputed-f32
+    path (measured rel diff ~3e-5 on the loss). 4x less host->device image
+    bandwidth per step."""
+    from scene_3dreconstruction_mvsnet_tpu.data.pipeline import pack_u8_imgs
+
+    model = MVSNet()
+    batch = _batch(tiny_ds, [0, 1])
+    batch_np = {k: np.asarray(v) for k, v in batch.items()}
+    packed = pack_u8_imgs(dict(batch_np))
+    assert packed["imgs"].dtype == np.uint8, "loader imgs should pack exactly"
+    # the values entering the network are exactly the f32 images
+    np.testing.assert_array_equal(
+        packed["imgs"].astype(np.float32) / 255.0, batch_np["imgs"]
+    )
+
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"],
+    )
+    tx = make_optimizer(lambda step: 1e-3)
+    step = make_train_step(model)
+    s_f32, aux_f32 = step(TrainState.create(variables, tx), batch)
+    s_u8, aux_u8 = step(TrainState.create(variables, tx), packed)
+    np.testing.assert_allclose(
+        np.asarray(aux_f32["loss"]), np.asarray(aux_u8["loss"]), rtol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_f32["depth_est"]), np.asarray(aux_u8["depth_est"]),
+        rtol=1e-3, atol=1e-2,
+    )
+    # the updated params must match too. Adam's first update is
+    # ~±lr * sign(g), so reassociation noise on a near-zero gradient can
+    # flip a single element by up to 2*lr = 2e-3 — bound by that, not by
+    # gradient-scale tolerances (observed: 1 of 6912 elements at 2e-3).
+    a = jax.tree_util.tree_leaves(s_f32.params)
+    b = jax.tree_util.tree_leaves(s_u8.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-3, atol=2.5e-3
+        )
+
+    # inexact (genuinely float-valued) images must stay on the f32 path
+    noisy = dict(batch_np, imgs=batch_np["imgs"] + 1e-4)
+    assert pack_u8_imgs(noisy)["imgs"].dtype == np.float32
+
+
 def test_eval_step_runs(tiny_ds):
     model = MVSNet()
     batch = _batch(tiny_ds, [0])
