@@ -226,6 +226,7 @@ def fuse_scan(
     condmask_depth: float = 0.01,
     ref_chunk: int = 8,
     aot_cache: str | None = None,
+    mesh=None,
 ):
     """Whole-scan filter in ONE device launch (vs the reference's CPU loop
     over (ref, src) pairs, /root/reference/eval.py:620-706).
@@ -235,7 +236,13 @@ def fuse_scan(
     padded to a fixed width (so one compilation serves every scan) and
     masked out. Reference views run ``ref_chunk`` at a time (vmap within a
     chunk, lax.map across) to bound peak HBM on large rigs. Returns
-    per-ref-view dicts in pair order."""
+    per-ref-view dicts in pair order.
+
+    ``mesh``: a jax.sharding.Mesh with a 'data' axis for multi-device
+    filtering — the depth/conf stacks replicate, the reference-view axis is
+    sharded over 'data' (each device filters its share of ref views against
+    all sources; no cross-view collectives). The serial ref_chunk blocking
+    is replaced by one sharded block of ref_chunk x data views."""
     id_to_row = {v: i for i, v in enumerate(view_ids)}
     R = len(pair_data)
     width = max(1, min(NviewFilter, max(len(s) for _, s in pair_data)))
@@ -249,7 +256,12 @@ def fuse_scan(
             src_idx[i, j] = srcs[j] if j < len(srcs) else srcs[0] if srcs else 0
             src_valid[i, j] = j < len(srcs)
 
-    ck = max(1, min(ref_chunk, R))
+    if mesh is not None:
+        # one sharded block: ck spans data-axis-size x ref_chunk views so
+        # every device holds ref_chunk refs of the vmap'd inner axis
+        ck = max(1, min(ref_chunk, -(-R // mesh.shape["data"]))) * mesh.shape["data"]
+    else:
+        ck = max(1, min(ref_chunk, R))
     pad = (-R) % ck
     if pad:
         ref_idx = np.concatenate([ref_idx, np.repeat(ref_idx[:1], pad, 0)])
@@ -263,6 +275,15 @@ def fuse_scan(
         jnp.float32(photomask), jnp.int32(geomask),
         jnp.float32(condmask_pixel), jnp.float32(condmask_depth),
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        ref_sh = NamedSharding(mesh, P("data"))
+        fuse_args = tuple(
+            jax.device_put(a, ref_sh if i in (4, 5, 6) else rep)
+            for i, a in enumerate(fuse_args)
+        )
     if aot_cache is not None:
         # compiled-executable cache: repeat scans of the same rig geometry
         # (serving) and fresh processes skip the fuse compile entirely.

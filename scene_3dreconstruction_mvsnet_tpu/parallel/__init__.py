@@ -8,6 +8,7 @@ from .sharding import (
     batch_sharding,
     replicate,
     shard_batch,
+    make_sharded_infer,
     make_sharded_train_step,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "batch_sharding",
     "replicate",
     "shard_batch",
+    "make_sharded_infer",
     "make_sharded_train_step",
 ]

@@ -56,6 +56,38 @@ def volume_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, volume_partition_spec())
 
 
+def make_sharded_infer(model, mesh: Mesh, variables: dict):
+    """Multi-device EVAL stage A: params replicated, the view/batch axis
+    sharded over 'data' — each device runs the MVSNet forward on its share
+    of the reference views. The TPU answer to the reference's eval-time
+    DataParallel (/root/reference/eval.py:309), expressed purely through
+    input placements: the jitted infer step is unchanged and GSPMD
+    partitions it (batch-pointwise program, no cross-view collectives).
+
+    Returns ``(variables_replicated, infer, shard_fn)``; callers feed
+    batches whose leading axis is a multiple of the 'data' axis size.
+    Forces classic GSPMD process-wide, same caveat as
+    make_sharded_train_step below.
+    """
+    import jax as _jax
+
+    _jax.config.update("jax_use_shardy_partitioner", False)
+
+    from ..train.state import make_infer_step
+
+    variables = replicate(variables, mesh)
+    infer = make_infer_step(model)
+    bs = batch_sharding(mesh)
+
+    def shard_fn(imgs, proj_matrices, depth_values):
+        return tuple(
+            jax.device_put(x, bs)
+            for x in (imgs, proj_matrices, depth_values)
+        )
+
+    return variables, infer, shard_fn
+
+
 def make_sharded_train_step(model, tx, mesh: Mesh, variables: dict):
     """Build (state, train_step, shard_fn) for multi-chip training.
 
