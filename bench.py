@@ -150,6 +150,10 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "config": f"{V} views (49-cam ring), {D} planes, {H}x{W}, batch 1, "
                   f"{'bf16' if on_tpu else 'f32'} convs",
+        # rig identity: r01/r02 benched a translation-only rig; r03+ bench
+        # the harder rotation-bearing inward ring (per-round numbers are
+        # only comparable within the same rig value)
+        "rig": "rotation_ring49",
         "seconds_per_depthmap": round(sec, 4),
         "platform": platform,
     }))

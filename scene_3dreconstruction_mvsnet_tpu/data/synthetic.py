@@ -135,6 +135,99 @@ class SyntheticRig:
             f.write("\n".join(lines) + "\n")
 
 
+def _look_at(eye, target, up=(0.0, 1.0, 0.0)) -> np.ndarray:
+    """World->camera extrinsic for a camera at ``eye`` looking at ``target``
+    (same convention as bench.py's headline ring)."""
+    eye = np.asarray(eye, np.float64)
+    z = np.asarray(target, np.float64) - eye
+    z /= np.linalg.norm(z)
+    x = np.cross(np.asarray(up, np.float64), z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    E = np.eye(4)
+    R = np.stack([x, y, z])
+    E[:3, :3] = R
+    E[:3, 3] = -R @ eye
+    return E.astype(np.float32)
+
+
+class RingRig(SyntheticRig):
+    """Inward-looking camera ring over the textured plane — the DTU/BDS8
+    overhead acquisition geometry (/root/reference/eval.py:851-895 BDS8
+    rigs; 49 cameras in the shipped pair files). Rotation-bearing
+    extrinsics stress the sweep kernel's window planner (per-view yspan
+    envelopes) where the translation rig is the gather-friendliest case.
+
+    Cameras sit on a circle of ``radius`` at z = ``height``, all looking at
+    the plane center (0, 0, z0); the scene is the analytic textured plane
+    z = z0 + slope_x * x, so depth maps and renders stay exact closed forms
+    (ray-plane intersection)."""
+
+    def __init__(
+        self,
+        n_views: int = 49,
+        img_hw: tuple[int, int] = (512, 640),
+        z0: float = 700.0,
+        slope_x: float = 0.05,
+        radius: float = 150.0,
+        height: float = -700.0,
+        focal: float | None = None,
+    ) -> None:
+        super().__init__(
+            n_views=n_views, img_hw=img_hw, z0=z0, slope_x=slope_x,
+            baseline=0.0, focal=focal if focal is not None else 1.1 * img_hw[1],
+        )
+        self.radius = radius
+        self.height = height
+
+    def extrinsics(self, view: int) -> np.ndarray:
+        a = 2.0 * np.pi * view / self.n_views
+        eye = (self.radius * np.cos(a), self.radius * np.sin(a), self.height)
+        return _look_at(eye, (0.0, 0.0, self.z0))
+
+    def _plane_hits(self, view: int, scale: int = 1):
+        """(depth [h,w], world x [h,w], world y [h,w]) at pixel centers:
+        cam-space z of the ray/plane intersection and its world x/y."""
+        h, w = self.img_hw
+        us = np.arange(0, w, scale, dtype=np.float64)
+        vs = np.arange(0, h, scale, dtype=np.float64)
+        u, v = np.meshgrid(us, vs)
+        Kinv = np.linalg.inv(self.K.astype(np.float64))
+        d_cam = np.stack([u, v, np.ones_like(u)], axis=-1) @ Kinv.T  # z comp 1
+        E = self.extrinsics(view).astype(np.float64)
+        R = E[:3, :3]
+        o = -R.T @ E[:3, 3]  # camera center in world
+        d_w = d_cam @ R  # == (R.T @ d_cam^T)^T
+        # plane z = z0 + slope_x * x:  o_z + s d_z = z0 + slope_x (o_x + s d_x)
+        s = (self.z0 + self.slope_x * o[0] - o[2]) / (
+            d_w[..., 2] - self.slope_x * d_w[..., 0]
+        )
+        # cam point = s * d_cam (z component 1) => cam-space depth = s
+        x_w = o[0] + s * d_w[..., 0]
+        y_w = o[1] + s * d_w[..., 1]
+        return s, x_w, y_w
+
+    def depth_map(self, view: int, scale: int = 1) -> np.ndarray:
+        return self._plane_hits(view, scale)[0].astype(np.float32)
+
+    def render(self, view: int) -> np.ndarray:
+        _, x_w, y_w = self._plane_hits(view)
+        img = _texture(0.1 * x_w, 0.1 * y_w).astype(np.float32)
+        return np.dstack([img, img, img])
+
+    def pair_list(self) -> list[tuple[int, list[int]]]:
+        """Nearest neighbours by CIRCULAR camera distance (ring topology)."""
+        n = self.n_views
+        pairs = []
+        for ref in range(n):
+            srcs = sorted(
+                (v for v in range(n) if v != ref),
+                key=lambda v: min((v - ref) % n, (ref - v) % n),
+            )
+            pairs.append((ref, srcs))
+        return pairs
+
+
 def make_blender_tree(root: str, scan: str = "scene_000", n_lights: int = 2,
                       rig: SyntheticRig | None = None, ndepths: int = 32) -> SyntheticRig:
     """Blender-train layout (/root/reference/datasets/blender.py:131-134):

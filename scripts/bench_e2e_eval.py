@@ -28,15 +28,24 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_tree(root: str, n_views: int, hw, ndepths: int, n_scans: int = 1):
+def build_tree(root: str, n_views: int, hw, ndepths: int, n_scans: int = 1,
+               ring: bool = False):
     from scene_3dreconstruction_mvsnet_tpu.data.synthetic import (
-        SyntheticRig, make_eval_tree, write_scan_list,
+        RingRig, SyntheticRig, make_eval_tree, write_scan_list,
     )
 
-    rig = SyntheticRig(n_views=n_views, img_hw=hw, baseline=2.0,
-                       z0=500.0, slope_x=0.15, focal=0.8 * hw[1])
+    if ring:
+        # inward 49-cam ring — the BDS8 acquisition geometry
+        # (rotation-bearing extrinsics: per-view yspan envelopes, the
+        # sweep kernel's hard case)
+        rig = RingRig(n_views=n_views, img_hw=hw, z0=700.0, slope_x=0.05,
+                      radius=150.0, height=-700.0, focal=1.1 * hw[1])
+    else:
+        rig = SyntheticRig(n_views=n_views, img_hw=hw, baseline=2.0,
+                           z0=500.0, slope_x=0.15, focal=0.8 * hw[1])
     scans = [f"scan{i + 1}" for i in range(n_scans)]
     for scan in scans:
         make_eval_tree(root, scan=scan, rig=rig, ndepths=ndepths)
@@ -45,31 +54,45 @@ def build_tree(root: str, n_views: int, hw, ndepths: int, n_scans: int = 1):
 
 
 def make_ckpt(logdir: str) -> str:
-    import jax
-    import jax.numpy as jnp
+    """Random-init checkpoint for the bench, created in a CPU SUBPROCESS:
+    the tiny model.init does not need (or deserve) a TPU round-trip — on a
+    degraded tunnel it has been observed to hang for minutes, while on CPU
+    it is ~5 s. Orbax checkpoints are device-portable (verify skill)."""
+    import subprocess
+    import sys as _sys
 
-    from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
-    from scene_3dreconstruction_mvsnet_tpu.train import (
-        TrainState, make_optimizer, save_checkpoint,
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "from scene_3dreconstruction_mvsnet_tpu.models import MVSNet;"
+        "from scene_3dreconstruction_mvsnet_tpu.train import ("
+        "TrainState, make_optimizer, save_checkpoint);"
+        "model = MVSNet();"
+        "variables = model.init(jax.random.PRNGKey(0),"
+        "jnp.zeros((1, 2, 64, 96, 3)),"
+        "jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)),"
+        "jnp.linspace(1.0, 2.0, 16)[None]);"
+        "state = TrainState.create(variables, make_optimizer(lambda s: 1e-3));"
+        f"print(save_checkpoint({logdir!r}, 0, state))"
     )
-
-    model = MVSNet()
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, 2, 64, 96, 3)),
-        jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)),
-        jnp.linspace(1.0, 2.0, 16)[None],
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO_ROOT
+    proc = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True,
+        env=env, timeout=300,
     )
-    state = TrainState.create(variables, make_optimizer(lambda s: 1e-3))
-    return save_checkpoint(logdir, 0, state)
+    if proc.returncode != 0:
+        raise SystemExit(f"make_ckpt failed: {proc.stderr[-2000:]}")
+    return proc.stdout.strip().splitlines()[-1]
 
 
 def run_config(name, n_views, hw, ngen, nfilter, ckpt, workdir,
-               batch_size, extra, n_scans=1):
+               batch_size, extra, n_scans=1, ring=False):
     H, W = hw
     root = os.path.join(workdir, f"acq_{name}")
     t0 = time.time()
-    build_tree(root, n_views, hw, ndepths=192, n_scans=n_scans)
+    build_tree(root, n_views, hw, ndepths=192, n_scans=n_scans, ring=ring)
     t_fixture = time.time() - t0
 
     outdir = os.path.join(workdir, f"out_{name}")
@@ -128,7 +151,7 @@ def main():
     ap.add_argument("--views", type=int, default=49,
                     help="views in the dtu_full scan (49 = BASELINE row)")
     ap.add_argument("--configs", nargs="*",
-                    default=["dtu_full", "bin", "multi_bin"])
+                    default=["dtu_full", "bds8_ring", "bin", "multi_bin"])
     ap.add_argument("--keep", action="store_true",
                     help="keep the workdir (default: tempdir, removed)")
     args = ap.parse_args()
@@ -152,6 +175,14 @@ def main():
         results[f"dtu_full_{args.views}v_e2e"] = run_config(
             "dtu_full", args.views, (864, 1152), 5, 10, ckpt, workdir,
             batch_size=1, extra=fast,
+        )
+    if "bds8_ring" in args.configs:
+        # BDS8 49-camera inward ring at 512x640 (BASELINE config 3; the
+        # eval_BlenderDS preset runs gen5/filt10 with photomask 0.5 —
+        # /root/reference/.vscode/launch.json + eval.py:851-895)
+        results["bds8_ring_49v_e2e"] = run_config(
+            "bds8_ring", 49, (512, 640), 5, 10, ckpt, workdir,
+            batch_size=2 if on_tpu else 1, extra=fast, ring=True,
         )
     if "bin" in args.configs:
         results["bin_4cam_e2e"] = run_config(

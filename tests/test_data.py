@@ -234,6 +234,59 @@ def test_rig_reprojection_consistency():
     assert err.mean() < 5e-3, err.mean()
 
 
+def test_ring_rig_reprojection_consistency():
+    """Same exact-geometry check for the inward-ring rig (RingRig, the
+    BDS8/DTU acquisition geometry used by the bds8_ring e2e bench config):
+    sampling neighbour renders at the analytic-depth projection must
+    reproduce the reference render, and the depth map must satisfy the
+    world plane equation z = z0 + slope_x * x after back-projection."""
+    from scene_3dreconstruction_mvsnet_tpu.data.synthetic import RingRig
+    from scene_3dreconstruction_mvsnet_tpu.ops import bilinear_sample_2d
+
+    rig = RingRig(n_views=12, img_hw=(64, 96), radius=30.0, height=-100.0,
+                  z0=100.0, slope_x=0.05, focal=110.0)
+    # plane residual of the back-projected depth
+    E = rig.extrinsics(0).astype(np.float64)
+    d = rig.depth_map(0).astype(np.float64)
+    H, W = rig.img_hw
+    xs, ys = np.meshgrid(np.arange(W, dtype=np.float64),
+                         np.arange(H, dtype=np.float64))
+    cam = np.linalg.inv(rig.K.astype(np.float64)) @ (
+        np.stack([xs.reshape(-1), ys.reshape(-1), np.ones(H * W)]) * d.reshape(-1)
+    )
+    world = E[:3, :3].T @ (cam - E[:3, 3:4])
+    resid = world[2] - (rig.z0 + rig.slope_x * world[0])
+    # f32 extrinsics/depth quantization at z~100 leaves ~1e-5 residual
+    assert np.abs(resid).max() < 1e-4, np.abs(resid).max()
+
+    # photometric consistency ref(0) vs its ring neighbour (11)
+    projs = _rig_projs(rig)[0]
+    ref_img, src_img = rig.render(0), rig.render(11)
+    rel = projs[11] @ np.linalg.inv(projs[0])
+    pts = rel[:3, :3] @ (
+        np.stack([xs.reshape(-1), ys.reshape(-1), np.ones(H * W)]) * d.reshape(-1)
+    )
+    pts = pts + rel[:3, 3:4]
+    xy = pts[:2] / pts[2]
+    sampled = np.asarray(
+        bilinear_sample_2d(
+            jnp.asarray(src_img[None]),
+            jnp.asarray(xy[0][None].astype(np.float32)),
+            jnp.asarray(xy[1][None].astype(np.float32)),
+        )
+    )[0, :, 0].reshape(H, W)
+    inb = (
+        (xy[0] >= 1) & (xy[0] <= W - 2) & (xy[1] >= 1) & (xy[1] <= H - 2)
+    ).reshape(H, W)
+    assert inb.mean() > 0.5  # neighbours genuinely overlap
+    err = np.abs(sampled - ref_img[..., 0])[inb]
+    assert err.mean() < 5e-3, err.mean()
+
+    # ring pair list uses circular distance: camera 0's nearest are 1 and 11
+    pairs = rig.pair_list()
+    assert set(pairs[0][1][:2]) == {1, 11}
+
+
 def test_plane_sweep_recovers_synthetic_depth():
     """Photometric plane sweep on raw image intensities (no CNN): argmin of
     the variance volume must match the analytic depth — validates rig
