@@ -82,14 +82,15 @@ class MVSDatasetBase:
         raise NotImplementedError
 
     @staticmethod
-    def stack_views(imgs: list[np.ndarray]) -> np.ndarray:
-        """[V] list of HxWx3 -> [V, H, W, 3] float32 (channels-last).
+    def stack_views(imgs: list[np.ndarray], dtype=np.float32) -> np.ndarray:
+        """[V] list of HxWx3 -> [V, H, W, 3] ``dtype`` (channels-last).
 
         Preallocates and copies each view once: ``np.stack(...).astype(f32)``
         copies the full batch TWICE, which at DTU-full resolution was ~60% of
         the per-sample host time on this 1-core box (scripts/profile_input.py).
+        ``dtype=np.uint8`` carries the eval pipeline's u8-native images.
         """
-        out = np.empty((len(imgs),) + np.shape(imgs[0]), np.float32)
+        out = np.empty((len(imgs),) + np.shape(imgs[0]), dtype)
         for i, im in enumerate(imgs):
             out[i] = im
         return out

@@ -31,6 +31,11 @@ class MVSDataset(MVSDatasetBase):
         self.img_subfolder = kwargs.get("img_subfolder", "Rectified/{}/{:0>8}.png")
         self.img_res = tuple(kwargs.get("img_res", (512, 640)))
         self.dataset_name = kwargs.get("dataset_name", "dtu")
+        # emit u8 images (exactly f32*255 — the /255 is the decode's last
+        # step): eval stage A keeps pixels u8 end to end, quartering host
+        # memcpy + transfer bytes. Default off for reference-contract
+        # parity (torch loaders emit f32).
+        self.emit_u8 = bool(kwargs.get("emit_u8", False))
         assert self.mode == "test"
         self.metas = self.build_list()
 
@@ -72,11 +77,13 @@ class MVSDataset(MVSDatasetBase):
                 from ..io.images import read_rescale_crop_img_cached
 
                 np_img, intrinsics = read_rescale_crop_img_cached(
-                    img_filename, intrinsics, self.img_res, self.img_cache
+                    img_filename, intrinsics, self.img_res, self.img_cache,
+                    return_u8=self.emit_u8,
                 )
             else:
                 np_img, intrinsics = read_rescale_crop_img(
-                    img_filename, intrinsics, img_res=self.img_res
+                    img_filename, intrinsics, img_res=self.img_res,
+                    return_u8=self.emit_u8,
                 )
             imgs.append(np_img)
 
@@ -94,7 +101,9 @@ class MVSDataset(MVSDatasetBase):
                 )
 
         return {
-            "imgs": self.stack_views(imgs),
+            "imgs": self.stack_views(
+                imgs, dtype=np.uint8 if self.emit_u8 else np.float32
+            ),
             "proj_matrices": np.stack(proj_matrices),
             "intrinsics": np.stack(intrinsics_list),
             "extrinsics": np.stack(extrinsics_list),

@@ -55,9 +55,10 @@ def _dump_depth_gen_debug(debug_dir, batch_idx, bits, ref_img, depth, confidence
     cv2.imshow windows."""
     os.makedirs(debug_dir, exist_ok=True)
     if "0" in bits:
+        ref_img = np.asarray(ref_img)
         save_image_u8(
             os.path.join(debug_dir, f"input_view{batch_idx:0>4}.png"),
-            np.clip(np.asarray(ref_img), 0, 1),
+            ref_img if ref_img.dtype == np.uint8 else np.clip(ref_img, 0, 1),
         )
     if "1" in bits:
         save_image_u8(
@@ -118,6 +119,10 @@ def _pack_u8(batch: dict, cache: dict | None = None) -> dict:
         return u8 if np.array_equal(u8.astype(np.float32) / 255.0, img) else None
 
     imgs = batch["imgs"]
+    if imgs.dtype == np.uint8:
+        # u8-native loader (dataloader_eval emit_u8): nothing to pack
+        batch["imgs_dev"] = imgs
+        return batch
     if cache is None or "view_ids" not in batch or "scan" not in batch:
         u8 = pack_one(imgs)
         if u8 is not None:
@@ -261,6 +266,9 @@ def save_depth(
         img_res=img_res,
         dataset_name=dataset_name,
         img_cache=img_cache,
+        # u8-native images end to end (dataloader_eval honors this; legacy
+        # eval datasets ignore it and stay on the f32 + pack path)
+        emit_u8=True,
     )
     _mark("dataset_init")
     if pallas_sweep:
@@ -495,8 +503,11 @@ def save_depth(
         if batch_idx == 0 and debug_bitmask:
             from ..utils.debug_dump import debug_forward
 
+            dbg_imgs = sample["imgs"]
+            if dbg_imgs.dtype == np.uint8:
+                dbg_imgs = dbg_imgs.astype(np.float32) / 255.0
             debug_forward(
-                model, variables, sample["imgs"], sample["proj_matrices"],
+                model, variables, dbg_imgs, sample["proj_matrices"],
                 sample["depth_values"], debug_bitmask, outdir_acq,
             )
             _mark("debug_dump")

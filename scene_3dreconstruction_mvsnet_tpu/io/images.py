@@ -75,11 +75,17 @@ def read_rescale_crop_img_cached(
     intrinsics: np.ndarray,
     img_res: tuple[int, int],
     cache_dir: str,
+    return_u8: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """``read_rescale_crop_img`` with an .npz cache of the rescaled/cropped
     image AND its adjusted intrinsics (keyed by source mtime + target res),
     so eval stage A skips both the PNG decode and the resize on re-runs.
     Hot entries are additionally served from a bounded in-process LRU.
+
+    New entries are stored as **u8** (lossless: the /255 is the last step
+    of the uncached path; 4x smaller cache and page-cache footprint) and
+    converted to the requested form at load. Legacy f32 entries are served
+    as-is (or rint'd back to u8 — exact, the f32 came from u8/255).
 
     ``intrinsics`` must be the unadjusted camera matrix; the cached adjusted
     matrix is copied into it (same in-place contract as the uncached path).
@@ -91,11 +97,12 @@ def read_rescale_crop_img_cached(
         f"{os.path.abspath(img_fname)}|{st.st_mtime_ns}|{st.st_size}"
         f"|{tuple(img_res)}".encode()
     ).hexdigest()
+    form_key = (key, bool(return_u8))
 
     with _RAM_CACHE_LOCK:
-        hit = _RAM_CACHE.pop(key, None)
+        hit = _RAM_CACHE.pop(form_key, None)
         if hit is not None:
-            _RAM_CACHE[key] = hit  # re-insert: LRU order = dict order
+            _RAM_CACHE[form_key] = hit  # re-insert: LRU order = dict order
             img, intr = hit
             intrinsics[:] = intr
             return img, intrinsics
@@ -105,7 +112,9 @@ def read_rescale_crop_img_cached(
         with np.load(path) as data:
             img, intr = data["img"], data["intrinsics"]
     else:
-        img, intr = read_rescale_crop_img(img_fname, intrinsics.copy(), img_res)
+        img, intr = read_rescale_crop_img(
+            img_fname, intrinsics.copy(), img_res, return_u8=True
+        )
         os.makedirs(cache_dir, exist_ok=True)
         import threading
 
@@ -114,10 +123,14 @@ def read_rescale_crop_img_cached(
         os.replace(tmp, path)
 
     img = np.asarray(img)
+    if return_u8 and img.dtype != np.uint8:
+        img = np.rint(img * 255.0).astype(np.uint8)  # legacy f32 entry
+    elif not return_u8 and img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
     img.setflags(write=False)  # shared by reference across loader threads
     with _RAM_CACHE_LOCK:
-        if key not in _RAM_CACHE:
-            _RAM_CACHE[key] = (img, np.array(intr))
+        if form_key not in _RAM_CACHE:
+            _RAM_CACHE[form_key] = (img, np.array(intr))
             _RAM_CACHE_BYTES[0] += img.nbytes
             while _RAM_CACHE_BYTES[0] > _RAM_CACHE_BUDGET and len(_RAM_CACHE) > 1:
                 old_img, _ = _RAM_CACHE.pop(next(iter(_RAM_CACHE)))
@@ -139,10 +152,15 @@ def save_mask(filename: str, mask: np.ndarray) -> None:
 
 
 def resize_img(img01: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
-    """Bilinear resize of a float [0,1] image to (H, W) — the cv2.resize
-    used for stage-A point-cloud color sampling (/root/reference/eval.py:435)."""
+    """Bilinear resize of a float [0,1] (or u8) image to (H, W) — the
+    cv2.resize used for stage-A point-cloud color sampling
+    (/root/reference/eval.py:435)."""
     h, w = hw
-    u8 = (np.clip(np.asarray(img01), 0.0, 1.0) * 255.0).astype(np.uint8)
+    img01 = np.asarray(img01)
+    if img01.dtype == np.uint8:
+        u8 = img01
+    else:
+        u8 = (np.clip(img01, 0.0, 1.0) * 255.0).astype(np.uint8)
     out = np.asarray(
         Image.fromarray(u8).resize((w, h), Image.BILINEAR), dtype=np.float32
     )
@@ -150,14 +168,19 @@ def resize_img(img01: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
 
 
 def save_image_u8(filename: str, img01: np.ndarray) -> None:
-    """Save a float [0,1] image (H,W[,C]) as an 8-bit PNG.
+    """Save a float [0,1] image (H,W[,C]) — or a ready u8 image — as an
+    8-bit PNG. A u8 input is written as-is (the eval pipeline keeps images
+    u8 end to end; this also avoids the truncation off-by-one the
+    f32 roundtrip can introduce: (u8/255)*255 can land at 246.9999...).
 
     zlib level 1: the encode runs on the eval writer thread, where level 6
     cost ~100 ms per full-res view on this 1-core host (every host cycle
     is stolen from the loader); the artifacts are scratch outputs, not
     archives."""
-    arr = np.clip(np.asarray(img01), 0.0, 1.0)
-    im = Image.fromarray((arr * 255.0).astype(np.uint8))
+    arr = np.asarray(img01)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0.0, 1.0) * 255.0).astype(np.uint8)
+    im = Image.fromarray(arr)
     if filename.endswith(".png"):
         im.save(filename, compress_level=1)
     else:
@@ -169,9 +192,15 @@ def read_rescale_crop_img(
     intrinsics: np.ndarray,
     img_res: tuple[int, int] = (512, 640),
     DEBUG: bool = False,
+    return_u8: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Load an image, rescale to cover ``img_res``, center-crop to dimensions
     that are multiples of 32, and adjust ``intrinsics`` to match.
+
+    ``return_u8`` skips the final /255 and returns the u8 pixels directly
+    (PIL decodes and resizes in the u8 domain, so f32 output == u8/255
+    exactly) — the eval pipeline keeps images u8 end to end, quartering
+    host memcpy and transfer bytes.
 
     Matches /root/reference/datasets/data_io.py:76-154 step for step:
       1. resize so the larger relative scale wins (image covers the target),
@@ -223,7 +252,10 @@ def read_rescale_crop_img(
     intrinsics[0, -1] -= start_w
     intrinsics[1, -1] -= start_h
 
-    np_img = np.asarray(img_cropped, dtype=np.float32) / 255.0
+    if return_u8:
+        np_img = np.asarray(img_cropped, dtype=np.uint8)
+    else:
+        np_img = np.asarray(img_cropped, dtype=np.float32) / 255.0
     if np_img.ndim == 2:  # B&W camera: replicate to 3 channels
         np_img = np.dstack((np_img, np_img, np_img))
 

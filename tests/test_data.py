@@ -234,6 +234,66 @@ def test_rig_reprojection_consistency():
     assert err.mean() < 5e-3, err.mean()
 
 
+def test_eval_u8_native_matches_f32(tmp_path, rig):
+    """dataloader_eval emit_u8 must carry exactly the f32 images' pixels
+    (f32 == u8/255 — the /255 is the decode's last step), through both the
+    uncached and the .npz-cached read paths, including legacy f32 cache
+    entries written by older runs."""
+    from scene_3dreconstruction_mvsnet_tpu.data.synthetic import make_eval_tree
+    from scene_3dreconstruction_mvsnet_tpu.io.images import (
+        read_rescale_crop_img,
+        read_rescale_crop_img_cached,
+    )
+
+    root = tmp_path / "acq"
+    make_eval_tree(str(root), scan="scan1", rig=rig, ndepths=8)
+    (root / "list.txt").write_text("scan1\n")
+
+    def make_ds(**kw):
+        DS = find_dataset_def("dataloader_eval")
+        return DS(
+            str(root), str(root / "list.txt"), "test", 3, ndepths=8,
+            interval_scale=1.0, cam_subfolder="Cameras",
+            img_subfolder="Rectified/{}/rect_C{:0>3}_L00.png",
+            img_res=rig.img_hw, dataset_name="bds8", **kw,
+        )
+
+    s_f32 = make_ds()[0]
+    s_u8 = make_ds(emit_u8=True)[0]
+    assert s_f32["imgs"].dtype == np.float32
+    assert s_u8["imgs"].dtype == np.uint8
+    np.testing.assert_array_equal(
+        s_u8["imgs"].astype(np.float32) / 255.0, s_f32["imgs"]
+    )
+    np.testing.assert_array_equal(s_u8["proj_matrices"], s_f32["proj_matrices"])
+
+    # cached path: u8 entry serves both forms identically
+    img_path = str(root / "Rectified" / "scan1" / "rect_C000_L00.png")
+    K0 = rig.K.copy()
+    cache = str(tmp_path / "imgcache")
+    u8_c, _ = read_rescale_crop_img_cached(
+        img_path, K0.copy(), rig.img_hw, cache, return_u8=True)
+    f32_c, _ = read_rescale_crop_img_cached(
+        img_path, K0.copy(), rig.img_hw, cache, return_u8=False)
+    f32_direct, _ = read_rescale_crop_img(img_path, K0.copy(), rig.img_hw)
+    np.testing.assert_array_equal(u8_c.astype(np.float32) / 255.0, f32_c)
+    np.testing.assert_array_equal(f32_c, f32_direct)
+
+    # legacy f32 cache entry (pre-round-4 format): rint back to u8 is exact
+    import glob
+
+    (entry,) = glob.glob(os.path.join(cache, "*.npz"))
+    np.savez(entry + ".tmp.npz", img=f32_direct, intrinsics=K0)
+    os.replace(entry + ".tmp.npz", entry)
+    from scene_3dreconstruction_mvsnet_tpu.io import images as im_mod
+
+    im_mod._RAM_CACHE.clear()
+    im_mod._RAM_CACHE_BYTES[0] = 0
+    u8_legacy, _ = read_rescale_crop_img_cached(
+        img_path, K0.copy(), rig.img_hw, cache, return_u8=True)
+    np.testing.assert_array_equal(u8_legacy, u8_c)
+
+
 def test_ring_rig_reprojection_consistency():
     """Same exact-geometry check for the inward-ring rig (RingRig, the
     BDS8/DTU acquisition geometry used by the bds8_ring e2e bench config):
