@@ -84,6 +84,12 @@ parser.add_argument("--aot_cache", default=None,
                          "XLA compile. Defaults to <img_cache>/aot when "
                          "--img_cache is set; pass 'off' to disable")
 parser.add_argument("--num_workers", type=int, default=4)
+parser.add_argument("--data_shards", type=int, default=1,
+                    help="shard eval stage A's view/batch axis over this "
+                         "many devices ('data' mesh axis; batch_size must "
+                         "be a multiple). The multi-chip answer to the "
+                         "reference's eval-time DataParallel "
+                         "(/root/reference/eval.py:309)")
 parser.add_argument("--no_device_store", action="store_true",
                     help="disable the per-(scan,view) device-resident image "
                          "store (each image is otherwise uploaded once and "
@@ -266,6 +272,7 @@ def main() -> None:
             device_img_store=not args.no_device_store,
             on_scan_done=on_scan_done if overlap else None,
             aot_cache=args.aot_cache,
+            data_shards=args.data_shards,
         )
 
     t_stage_a = time.time() - t_start

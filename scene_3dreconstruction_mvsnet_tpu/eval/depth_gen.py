@@ -224,6 +224,7 @@ def save_depth(
     device_img_store: bool = True,
     on_scan_done=None,
     aot_cache: str | None = None,
+    data_shards: int = 1,
 ) -> dict:
     """Run depth generation for every reference view. Returns timing stats.
 
@@ -321,10 +322,38 @@ def save_depth(
     # persistent compile cache does not engage under the axon plugin)
     from ..utils.aot_cache import AotGate
 
-    infer = AotGate(
-        make_infer_step(model), aot_cache, ("infer", repr(model)),
-        label="infer",
-    )
+    shard_fn = None
+    if data_shards > 1:
+        # multi-device stage A: the view/batch axis sharded over 'data'
+        # (parallel/sharding.py::make_sharded_infer). The per-(scan,view)
+        # device image store is single-device by construction — skip it and
+        # let shard_fn place the batch (the u8-native loader keeps the
+        # transfer at u8 either way).
+        import jax as _jax
+
+        from ..parallel import make_mesh, make_sharded_infer
+
+        if batch_size % data_shards:
+            raise ValueError(
+                f"batch_size {batch_size} must be a multiple of "
+                f"data_shards {data_shards}"
+            )
+        mesh = make_mesh(
+            data=data_shards, sweep=1, devices=_jax.devices()[:data_shards]
+        )
+        variables, infer_raw, shard_fn = make_sharded_infer(
+            model, mesh, variables
+        )
+        infer = AotGate(
+            infer_raw, aot_cache, ("infer_sharded", repr(model), data_shards),
+            label="infer",
+        )
+        device_img_store = False
+    else:
+        infer = AotGate(
+            make_infer_step(model), aot_cache, ("infer", repr(model)),
+            label="infer",
+        )
     store = _DeviceImageStore() if device_img_store else None
     infer_views = None  # built lazily on the first store-served batch
 
@@ -543,6 +572,8 @@ def save_depth(
                 variables, tuple(dev_imgs), jnp.asarray(projs_b),
                 jnp.asarray(dv_b),
             ))
+        elif shard_fn is not None:
+            call = (infer, (variables,) + shard_fn(imgs_b, projs_b, dv_b))
         else:
             call = (infer, (
                 variables, jnp.asarray(imgs_b), jnp.asarray(projs_b),
