@@ -30,7 +30,12 @@ CHUNKS = [
     "tests/test_flat_cost_reg.py",
     "tests/test_flat_feature_net.py",
     "tests/test_multihost.py",
-    "tests/test_paired_sweep.py",
+    # test_paired_sweep.py as ONE chunk blew a 900 s cold budget (measured
+    # this round) — its three interpret-mode kernel tests each carry a
+    # heavy cold compile and must run as separate chunks:
+    "tests/test_paired_sweep.py::test_emit_warps_matches_xla_warp",
+    "tests/test_paired_sweep.py::test_paired_grad_matches_autodiff",
+    "tests/test_paired_sweep.py::test_paired_flags_out_of_envelope_rig",
     "tests/test_pallas_warp.py",
     "tests/test_parallel.py",
     "tests/test_reference_ab.py",
@@ -73,6 +78,12 @@ def main():
         shutil.rmtree(home, ignore_errors=True)
 
     out = os.path.join(REPO, "slow_tier_times.json")
+    merged = {}
+    if os.path.exists(out):  # partial runs update only their own chunks
+        with open(out) as fi:
+            merged = json.load(fi)
+    merged.update(results)
+    results = merged
     with open(out, "w") as fo:
         json.dump(results, fo, indent=2)
     bad = [f for f, r in results.items() if not (r["ok"] and r["under_budget"])]
