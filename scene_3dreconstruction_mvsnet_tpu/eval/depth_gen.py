@@ -242,6 +242,25 @@ def save_depth(
     in-graph XLA fallback (requires the model's bf16 fast path).
     """
     print(f"============ Generating DEPTH MAPS using {NviewGen} views")
+    # First device->host transfer warmup, ASYNC from function entry: the
+    # axon tunnel sets up its D2H channel lazily at the process's first
+    # host materialization, at a highly variable cost (measured 31-130+ s
+    # in ~32 s epochs, independent of array size). Start it on a thread NOW
+    # so dataset init / envelope planning / the AOT-cache load overlap it;
+    # the pipeline joins before its first dispatch and only the EXPOSED
+    # remainder shows up in the d2h_warmup phase.
+    import threading as _threading
+
+    warm_stats = {}
+
+    def _d2h_warm():
+        t0 = time.time()
+        np.asarray(jnp.zeros((8,)) + 1)
+        warm_stats["total_s"] = time.time() - t0
+
+    warm_thread = _threading.Thread(target=_d2h_warm, daemon=True)
+    warm_thread.start()
+
     # wall-clock phase accounting (printed at the end): where stage A time
     # actually goes on this host — setup vs the overlapped dispatch loop
     phases: dict[str, float] = {}
@@ -357,6 +376,12 @@ def save_depth(
     store = _DeviceImageStore() if device_img_store else None
     infer_views = None  # built lazily on the first store-served batch
 
+    warm_thread.join()
+    if warm_stats.get("total_s", 0) > 1.0:
+        print(f"d2h channel warmup: {warm_stats['total_s']:.2f}s total "
+              f"(started at save_depth entry, overlapped with setup)")
+    _mark("d2h_warmup")
+
     acquisition_folder = testpath.rstrip("/").split("/")[-1]
     outdir_acq = os.path.join(outdir, acquisition_folder)
 
@@ -427,13 +452,19 @@ def save_depth(
                 arr.copy_to_host_async()
         return outputs
 
+    last_done_t = [None]
+
     def _materialize(entry):
         outputs, sample, n_real, t0 = entry
         depths = np.asarray(outputs["depth"])
         confidences = np.asarray(outputs["photometric_confidence"])
-        # dispatch -> host-materialized: in the overlapped steady state this
-        # bounds the pipeline's per-batch cost (device time + result copy)
-        dt = time.time() - t0
+        # THROUGHPUT accounting: with up to ``inflight_depth`` batches in
+        # flight, dispatch->materialize would count pipeline latency, not
+        # cost — use the time between successive completions instead (first
+        # completion falls back to its own dispatch time).
+        now = time.time()
+        dt = now - (last_done_t[0] if last_done_t[0] is not None else t0)
+        last_done_t[0] = now
         gen_times.extend([dt / n_real] * n_real)
         return sample, n_real, depths, confidences, dt
 
