@@ -160,6 +160,17 @@ class Trainer:
 
     # -- loops ---------------------------------------------------------------
     def train(self) -> dict[str, float]:
+        # async D2H channel warmup (see eval/depth_gen.py): the first host
+        # materialization of the process — otherwise the step-0 summary's
+        # float(loss) — pays the axon tunnel's lazy channel setup
+        # (31-130+ s measured). Overlap it with the first batches' decode.
+        import threading
+
+        import jax.numpy as jnp
+
+        threading.Thread(
+            target=lambda: np.asarray(jnp.zeros((8,)) + 1), daemon=True
+        ).start()
         final_test: dict[str, float] = {}
         # running AND of the paired-sweep plan validity (ops/paired_sweep.py);
         # kept on device so it never forces a per-step host sync, checked at

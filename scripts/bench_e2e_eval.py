@@ -137,6 +137,15 @@ def run_config(name, n_views, hw, ngen, nfilter, ckpt, workdir,
             "steady_gen_s_per_view": grab(r"\"steady_gen_time\": ([\d.]+)")
             or grab(r"Averaged generation time: ([\d.]+)"),
             "device_busy_pct": grab(r"stage A = ([\d.]+)%"),
+            # the axon tunnel's lazy D2H channel setup: per-process,
+            # 30-300 s variance, NOT a property of this code (see
+            # docs/ROUND4_NOTES.md); exposed remainder after overlap is in
+            # the d2h_warmup phase of stage_a_phases
+            "d2h_channel_setup_s": grab(r"d2h channel warmup: ([\d.]+)s"),
+            "stage_a_phases": (
+                re.search(r"stage A phases \(s\): (.*)", proc.stdout).group(1)
+                if re.search(r"stage A phases \(s\): ", proc.stdout) else None
+            ),
             "views": n_views * n_scans,
             "config": f"{n_scans}x{n_views} views {H}x{W} D192 gen{ngen} "
                       f"filt{nfilter} bs{batch_size}",
