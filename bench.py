@@ -64,6 +64,16 @@ def main():
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
 
+    # async D2H channel warmup (see eval/depth_gen.py): the tunnel's lazy
+    # first-materialize cost (31-130+ s, ~32 s epochs) must not land inside
+    # the timed iterations; start it now, overlapped with envelope planning
+    # and the model compile
+    import threading
+
+    threading.Thread(
+        target=lambda: np.asarray(jnp.zeros((8,)) + 1), daemon=True
+    ).start()
+
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.rand(1, V, H, W, 3).astype(np.float32))
     # reference camera 0 of a 49-camera inward ring + its 4 nearest ring

@@ -58,16 +58,20 @@ def main():
         env = dict(os.environ, HOME=home)
         env.pop("PALLAS_AXON_POOL_IPS", None)  # tests force CPU anyway
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, "-m", "pytest", f, "-m", "slow", "-q",
-             "--no-header", "-p", "no:cacheprovider"],
-            capture_output=True, text=True, cwd=REPO, env=env,
-            timeout=args.budget_s + 300,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "pytest", f, "-m", "slow", "-q",
+                 "--no-header", "-p", "no:cacheprovider"],
+                capture_output=True, text=True, cwd=REPO, env=env,
+                timeout=args.budget_s + 300,
+            )
+            tail = proc.stdout.strip().splitlines()
+            summary = tail[-1] if tail else "?"
+            ok = proc.returncode in (0, 5)  # 5 = no slow tests in the file
+        except subprocess.TimeoutExpired:
+            summary = f"TIMEOUT > {args.budget_s + 300:.0f}s"
+            ok = False
         dt = time.time() - t0
-        tail = proc.stdout.strip().splitlines()
-        summary = tail[-1] if tail else "?"
-        ok = proc.returncode in (0, 5)  # 5 = no slow tests in the file
         results[f] = {
             "cold_s": round(dt, 1),
             "ok": ok,
