@@ -305,26 +305,71 @@ def save_depth(
             suggest_envelope,
         )
 
-        n = min(env_samples, len(test_dataset))
-        idxs = np.unique(np.linspace(0, len(test_dataset) - 1, n).astype(int))
-        env = {}
-        h4 = w4 = None
-        for i in idxs:
-            s = test_dataset[int(i)]
-            h4, w4 = s["imgs"].shape[1] // 4, s["imgs"].shape[2] // 4
-            e = suggest_envelope(
-                s["proj_matrices"][1:], s["proj_matrices"][0],
-                s["depth_values"], h4, w4,
+        # envelope result cache (under the AOT cache dir): the rig geometry
+        # of an acquisition is fixed, so later serving processes skip the
+        # sample reads + span probes (~3-4 s/process). Risk-free by
+        # construction — a stale envelope only costs speed (the eval
+        # dispatch falls back to the XLA sweep in-graph), never correctness.
+        env_cache_path = None
+        sweep_env = None
+        if aot_cache:
+            import hashlib
+            import json as _json
+
+            try:
+                st = os.stat(testlist)
+                raw = repr((
+                    os.path.abspath(testpath), st.st_mtime_ns, st.st_size,
+                    pairfile, cam_subfolder, tuple(img_res), numdepth,
+                    float(interval_scale), env_samples, NviewGen,
+                ))
+                os.makedirs(aot_cache, exist_ok=True)
+                env_cache_path = os.path.join(
+                    aot_cache,
+                    "env_" + hashlib.sha256(raw.encode()).hexdigest()[:24]
+                    + ".json",
+                )
+                if os.path.exists(env_cache_path):
+                    with open(env_cache_path) as f:
+                        y, pr_c, pcp_c = _json.load(f)
+                    sweep_env = (tuple(int(v) for v in y), int(pr_c), int(pcp_c))
+                    print(f"pallas_sweep envelope (cached): {sweep_env}")
+            except OSError:
+                env_cache_path = None
+
+        if sweep_env is None:
+            n = min(env_samples, len(test_dataset))
+            idxs = np.unique(
+                np.linspace(0, len(test_dataset) - 1, n).astype(int)
             )
-            env = merge_envelopes(env, e)
-        # per-view tap spans: each saved row is a full gather+fma pass in
-        # the kernel; margin +1 per slot (under-planning costs speed only —
-        # the dispatch falls back to the XLA sweep in-graph)
-        sweep_env = (
-            tuple(y + 1 for y in env["yspan"]),
-            -(-(env["pr"] + 8) // 8) * 8, env["pcp"],
-        )
-        print(f"pallas_sweep envelope ({len(idxs)} samples + margin): {sweep_env}")
+            env = {}
+            h4 = w4 = None
+            for i in idxs:
+                s = test_dataset[int(i)]
+                h4, w4 = s["imgs"].shape[1] // 4, s["imgs"].shape[2] // 4
+                e = suggest_envelope(
+                    s["proj_matrices"][1:], s["proj_matrices"][0],
+                    s["depth_values"], h4, w4,
+                )
+                env = merge_envelopes(env, e)
+            # per-view tap spans: each saved row is a full gather+fma pass
+            # in the kernel; margin +1 per slot (under-planning costs speed
+            # only — the dispatch falls back to the XLA sweep in-graph)
+            sweep_env = (
+                tuple(y + 1 for y in env["yspan"]),
+                -(-(env["pr"] + 8) // 8) * 8, env["pcp"],
+            )
+            print(
+                f"pallas_sweep envelope ({len(idxs)} samples + margin): "
+                f"{sweep_env}"
+            )
+            if env_cache_path:
+                tmp = f"{env_cache_path}.tmp.{os.getpid()}"
+                with open(tmp, "w") as f:
+                    _json.dump(
+                        [list(sweep_env[0]), sweep_env[1], sweep_env[2]], f
+                    )
+                os.replace(tmp, env_cache_path)
         model = model.clone(pallas_sweep_env=sweep_env)
     _mark("envelope_plan")
     if model.depth_chunk is None:
