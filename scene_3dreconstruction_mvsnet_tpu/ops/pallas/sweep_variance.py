@@ -105,6 +105,9 @@ class SweepPlan(NamedTuple):
     patch_x0p: jnp.ndarray  # [Vs, nYB*nXB] i32 pair-space origin (128-aligned)
     woy: jnp.ndarray       # [Vs, D, nYB, TILE_H, nXB] i32 window row offset
     base: jnp.ndarray      # [Vs, D, nYB, TILE_H, nXB] i32 pair-window base
+    nry: jnp.ndarray       # [Vs, D, nYB, TILE_H, nXB] i32 exact tap rows
+                           # needed at this position (in [2, yspan_v]);
+                           # drives the rowskip kernel variant
     valid: jnp.ndarray     # [] bool — geometry fits the envelope
 
 
@@ -257,8 +260,18 @@ def plan_sweep(
         patch_x0p = (jnp.clip(patch_x0p, 0, max(Wp - pcp, 0)) // 128) * 128
 
         y_lo_b = banded(y_lo, mode="edge")
+        y_hi_be = banded(y_hi, mode="edge")
         p_lo_b = banded(p_lo, mode="edge")
         woy = jnp.clip(y_lo_b - patch_y0[None, :, None, :], 0, pr - yspan_v)
+        # exact tap rows needed at each (d, row, xb) position, relative to
+        # the window start woy: the block's taps span [y_lo, y_hi] so
+        # y_hi - (patch_y0 + woy) + 1 rows cover them. Bilinear always
+        # needs >= 2 rows; the static envelope yspan_v is the cap (the
+        # fits gate guarantees y_hi - y_lo + 1 <= yspan_v wherever the
+        # block intersects the image).
+        nry = jnp.clip(
+            y_hi_be - patch_y0[None, :, None, :] - woy + 1, 2, yspan_v
+        )
         # 128-ALIGNED window base: the kernel slices a 256-lane window at
         # `base` and covers the per-plane span (<=128 pairs by the fits
         # check) with two clipped vreg-local gathers + a select — no
@@ -293,10 +306,10 @@ def plan_sweep(
             & (jnp.maximum(y_lo_b, 0) >= patch_y0[None, :, None, :])
         )
         valid = jnp.all(jnp.where(intersects, fits & covers, True)) & den_ok
-        return patch_y0.reshape(-1), patch_x0p.reshape(-1), woy, base, valid
+        return patch_y0.reshape(-1), patch_x0p.reshape(-1), woy, base, nry, valid
 
-    py0, px0, woy, base, valid = jax.vmap(one_view)(src_projs, yspans)
-    return SweepPlan(py0, px0, woy, base, jnp.all(valid))
+    py0, px0, woy, base, nry, valid = jax.vmap(one_view)(src_projs, yspans)
+    return SweepPlan(py0, px0, woy, base, nry, jnp.all(valid))
 
 
 def plan_is_valid(src_projs, ref_proj, depth_values, height, width, **env) -> jnp.ndarray:
@@ -343,6 +356,7 @@ def _sweep_kernel(
     ref_blk,        # [TILE_H, 16, TILE_W] f32 packed ref tile (VMEM block)
     woy_ref,        # [Vs, 1, 1, TILE_H, nXB] SMEM block
     base_ref,       # [Vs, 1, 1, TILE_H, nXB] SMEM block
+    nry_ref,        # [Vs, 1, 1, TILE_H, nXB] SMEM block (rowskip only)
     # outputs (warps_ref only present when emit_warps)
     *refs,          # out_ref [1, TILE_H, 32, TILE_W] variance block,
                     # [warps_ref [Vs, 1, TILE_H, 32, TILE_W] per-view warps,]
@@ -356,6 +370,7 @@ def _sweep_kernel(
     pr: int,
     pcp: int,
     emit_warps: bool,
+    rowskip: bool,
 ):
     if emit_warps:
         out_ref, warps_ref, patch0, patch1, sems = refs
@@ -468,68 +483,96 @@ def _sweep_kernel(
             wy0_r = w_y0[r : r + 1]
             wy1_r = w_y1[r : r + 1]
 
-            def tap_loop(cg, one_window, nry):
-                """Accumulate the (w_lo, w_hi) bilinear row sums for channel
-                group ``cg``. ``one_window`` (STATIC): the whole patch fits
-                one 128-lane window (pcp <= 128) — one gather per tap, no
-                clipped pair + lane select. ``nry`` (STATIC): tap rows to
-                visit — this view's yspan; every extra row is a full
-                gather+fma pass, the kernel's dominant cost."""
-                w_lo = zero8
-                w_hi = zero8
-                for ry in range(nry):
-                    # row weight: taps y0/y0+1 select window rows ry
-                    yw = jnp.where(y0l == ry, wy0_r, 0.0) + jnp.where(
-                        y0l == ry - 1, wy1_r, 0.0
+            one_window = pcp <= 128
+
+            def row_taps(cg, ry):
+                """One tap row for channel group ``cg`` at window row
+                woy+ry: gather both x taps and return the x-interpolated
+                (lo, hi) channel halves, NOT yet row-weighted.
+                ``one_window`` (STATIC): the whole patch fits one 128-lane
+                window (pcp <= 128) — one gather per tap, no clipped pair
+                + lane select."""
+                if pcp > 128 and one_window:
+                    win0 = patch0[
+                        v, woy + ry, pl.ds(cg * 8, 8),
+                        pl.ds(pl.multiple_of(base, 128), 128),
+                    ]
+                    win1 = patch1[
+                        v, woy + ry, pl.ds(cg * 8, 8),
+                        pl.ds(pl.multiple_of(base, 128), 128),
+                    ]
+                    g0 = jnp.take_along_axis(win0, i0_lo, axis=1)
+                    g1 = jnp.take_along_axis(win1, i1_lo, axis=1)
+                elif pcp > 128:
+                    win0 = patch0[
+                        v, woy + ry, pl.ds(cg * 8, 8),
+                        pl.ds(pl.multiple_of(base, 128), 256),
+                    ]
+                    win1 = patch1[
+                        v, woy + ry, pl.ds(cg * 8, 8),
+                        pl.ds(pl.multiple_of(base, 128), 256),
+                    ]
+                    g0 = jnp.where(
+                        s0,
+                        jnp.take_along_axis(win0[:, :128], i0_lo, axis=1),
+                        jnp.take_along_axis(win0[:, 128:], i0_hi, axis=1),
                     )
-                    if pcp > 128 and one_window:
-                        win0 = patch0[
-                            v, woy + ry, pl.ds(cg * 8, 8),
-                            pl.ds(pl.multiple_of(base, 128), 128),
-                        ]
-                        win1 = patch1[
-                            v, woy + ry, pl.ds(cg * 8, 8),
-                            pl.ds(pl.multiple_of(base, 128), 128),
-                        ]
-                        g0 = jnp.take_along_axis(win0, i0_lo, axis=1)
-                        g1 = jnp.take_along_axis(win1, i1_lo, axis=1)
-                    elif pcp > 128:
-                        win0 = patch0[
-                            v, woy + ry, pl.ds(cg * 8, 8),
-                            pl.ds(pl.multiple_of(base, 128), 256),
-                        ]
-                        win1 = patch1[
-                            v, woy + ry, pl.ds(cg * 8, 8),
-                            pl.ds(pl.multiple_of(base, 128), 256),
-                        ]
-                        g0 = jnp.where(
-                            s0,
-                            jnp.take_along_axis(win0[:, :128], i0_lo, axis=1),
-                            jnp.take_along_axis(win0[:, 128:], i0_hi, axis=1),
-                        )
-                        g1 = jnp.where(
-                            s1,
-                            jnp.take_along_axis(win1[:, :128], i1_lo, axis=1),
-                            jnp.take_along_axis(win1[:, 128:], i1_hi, axis=1),
-                        )
-                    else:
-                        row0 = patch0[v, woy + ry, pl.ds(cg * 8, 8), :]
-                        row1 = patch1[v, woy + ry, pl.ds(cg * 8, 8), :]
-                        g0 = jnp.take_along_axis(row0, i0_lo, axis=1)
-                        g1 = jnp.take_along_axis(row1, i1_lo, axis=1)
-                    g0lo, g0hi = _unpack(g0)
-                    g1lo, g1hi = _unpack(g1)
-                    xlo = g0lo * wp0 + g1lo * wp1
-                    xhi = g0hi * wp0 + g1hi * wp1
-                    w_lo = w_lo + xlo * yw
-                    w_hi = w_hi + xhi * yw
-                return (
-                    jnp.broadcast_to(w_lo, (8, TILE_W)),
-                    jnp.broadcast_to(w_hi, (8, TILE_W)),
+                    g1 = jnp.where(
+                        s1,
+                        jnp.take_along_axis(win1[:, :128], i1_lo, axis=1),
+                        jnp.take_along_axis(win1[:, 128:], i1_hi, axis=1),
+                    )
+                else:
+                    row0 = patch0[v, woy + ry, pl.ds(cg * 8, 8), :]
+                    row1 = patch1[v, woy + ry, pl.ds(cg * 8, 8), :]
+                    g0 = jnp.take_along_axis(row0, i0_lo, axis=1)
+                    g1 = jnp.take_along_axis(row1, i1_lo, axis=1)
+                g0lo, g0hi = _unpack(g0)
+                g1lo, g1hi = _unpack(g1)
+                return g0lo * wp0 + g1lo * wp1, g0hi * wp0 + g1hi * wp1
+
+            def row_pass(ry, w4):
+                """Accumulate tap row ``ry`` into the 4 running row sums
+                (lo cg0, hi cg0, lo cg1, hi cg1). Every pass is a full
+                gather+fma sweep — the kernel's dominant cost. Both
+                channel groups run in one pass so the rowskip cond below
+                fires once per skipped row, not once per channel group."""
+                # row weight: taps y0/y0+1 select window rows ry
+                yw = jnp.where(y0l == ry, wy0_r, 0.0) + jnp.where(
+                    y0l == ry - 1, wy1_r, 0.0
                 )
+                out = list(w4)
+                for cg in range(2):
+                    xlo, xhi = row_taps(cg, ry)
+                    out[2 * cg] = out[2 * cg] + xlo * yw
+                    out[2 * cg + 1] = out[2 * cg + 1] + xhi * yw
+                return tuple(out)
+
+            n_static = yspans[v]
+            w4 = (zero8, zero8, zero8, zero8)
+            # bilinear taps always span 2 rows: rows 0-1 run unconditionally
+            for ry in range(min(2, n_static) if rowskip else n_static):
+                w4 = row_pass(ry, w4)
+            if rowskip and n_static > 2:
+                # data-dependent row skipping: plan_sweep ships the exact
+                # per-(v, d, row, xb) tap-row count (nry <= yspan_v); each
+                # row past the first two runs under a lax.cond, so
+                # positions whose window needs fewer rows skip the whole
+                # gather+fma pass. On the headline rotation rig 92-98% of
+                # positions need only 2 of yspan 3 rows — a 31.7%
+                # row-pass upper bound (scripts/kexp_rowskip_stats.py).
+                nry_dyn = nry_ref[v, 0, 0, r, xb]
+                for ry in range(2, n_static):
+                    w4 = lax.cond(
+                        nry_dyn > ry,
+                        functools.partial(row_pass, ry),
+                        lambda c: c,
+                        w4,
+                    )
 
             for cg in range(2):
-                w_lo, w_hi = tap_loop(cg, pcp <= 128, yspans[v])
+                w_lo = jnp.broadcast_to(w4[2 * cg], (8, TILE_W))
+                w_hi = jnp.broadcast_to(w4[2 * cg + 1], (8, TILE_W))
                 acc_s[2 * cg] += w_lo
                 acc_q[2 * cg] += w_lo * w_lo
                 acc_s[2 * cg + 1] += w_hi
@@ -559,7 +602,7 @@ def _sweep_kernel(
     jax.jit,
     static_argnames=(
         "height", "width", "yspan", "pr", "pcp", "out_dtype", "interpret",
-        "emit_warps",
+        "emit_warps", "rowskip",
     ),
 )
 def sweep_variance_pallas(
@@ -574,6 +617,7 @@ def sweep_variance_pallas(
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     emit_warps: bool = False,
+    rowskip: bool = False,
 ):
     """Fused multi-view plane-sweep variance -> ([D, H, W, C], valid), or
     ([D, H, W, C], warps [Vs, D, H, W, C], valid) when ``emit_warps``.
@@ -592,6 +636,13 @@ def sweep_variance_pallas(
     already live in vector registers, so the only extra cost is the HBM
     write. Used by the paired training path (ops/paired_sweep.py), whose
     backward needs (w_v - mean) per view.
+
+    ``rowskip`` gates every tap row past the first two behind a per-
+    position ``lax.cond`` on the exact row count the plan computed —
+    positions that need fewer rows than the static envelope skip the
+    gather+fma pass entirely. Only pays when a view's yspan > 2 AND most
+    positions need fewer rows (rotation rigs); A/B on the live chip
+    before wiring as default.
     """
     V, H, W, C = features.shape
     D = depth_values.shape[0]
@@ -624,7 +675,7 @@ def sweep_variance_pallas(
 
     kernel = functools.partial(
         _sweep_kernel, Vs=Vs, V=V, H=H, W=W, nXB=nXB, yspans=yspans, pr=pr,
-        pcp=pcp, emit_warps=emit_warps,
+        pcp=pcp, emit_warps=emit_warps, rowskip=rowskip,
     )
 
     out_shapes = [
@@ -674,6 +725,11 @@ def sweep_variance_pallas(
                     lambda yb, xb, d, *refs: (0, d, yb, 0, 0),
                     memory_space=pltpu.SMEM,
                 ),
+                pl.BlockSpec(
+                    (Vs, 1, 1, TILE_H, nXB),
+                    lambda yb, xb, d, *refs: (0, d, yb, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
             ],
             out_specs=out_specs,
             scratch_shapes=[
@@ -698,6 +754,7 @@ def sweep_variance_pallas(
         refp,
         plan.woy.astype(jnp.int32),
         plan.base.astype(jnp.int32),
+        plan.nry.astype(jnp.int32),
     )
     # [D, H, C, W] -> [D, H, W, C]
     var = jnp.transpose(out[0][:, :H, :, :W], (0, 1, 3, 2))

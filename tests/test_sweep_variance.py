@@ -87,6 +87,45 @@ def test_fused_sweep_matches_xla(rot_deg, V):
     )
 
 
+@pytest.mark.parametrize(
+    "rot_deg",
+    [
+        # rot 0: yspan (2,2) — rowskip must be a structural no-op
+        0.0,
+        # rot 2: yspan (3,4), mean nry 2.54 — the conds actually gate
+        pytest.param(2.0, marks=pytest.mark.slow),
+    ],
+)
+def test_rowskip_matches_xla(rot_deg):
+    """rowskip=True (per-position lax.cond row gating) must match the XLA
+    oracle exactly as tightly as the ungated kernel — skipped rows carry
+    zero bilinear weight by construction (plan_sweep's nry)."""
+    H, W, C, D = 32, 160, 32, 3
+    fea, projs, dv = _rig(H, W, C, D, 3, rot_deg=rot_deg)
+    fea_bf = jnp.asarray(fea).astype(jnp.bfloat16)
+    env = suggest_envelope(projs[1:], projs[0], dv, H, W)
+    plan = plan_sweep(
+        jnp.asarray(projs[1:]), jnp.asarray(projs[0]), jnp.asarray(dv),
+        H, W, **env,
+    )
+    nry = np.asarray(plan.nry)
+    assert nry.min() >= 2 and nry.max() <= max(env["yspan"])
+
+    out, valid = sweep_variance_pallas(
+        fea_bf, jnp.asarray(projs), jnp.asarray(dv),
+        interpret=True, out_dtype=jnp.float32, rowskip=True, **env,
+    )
+    assert bool(valid)
+    ref = cost_volume_variance(
+        fea_bf.astype(jnp.float32)[None], jnp.asarray(projs)[None],
+        jnp.asarray(dv)[None],
+    )[0]
+    scale = float(np.abs(np.asarray(ref)).max())
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-3 * scale
+    )
+
+
 def test_fused_sweep_flags_unsupported_geometry():
     H, W, C, D = 32, 160, 32, 3
     fea, projs, dv = _rig(H, W, C, D, 3, rot_deg=25.0)
