@@ -97,6 +97,15 @@ parser.add_argument("--no_device_store", action="store_true",
 parser.add_argument("--no_overlap_filter", action="store_true",
                     help="run stage B strictly after stage A instead of "
                          "filtering each scan as its depth maps finish")
+parser.add_argument("--serve", action="store_true",
+                    help="serving loop: read scan names from stdin (one per "
+                         "line; EOF or 'quit' ends) and run stage A + B per "
+                         "request in this one long-lived process. Warm state "
+                         "— the jitted/AOT infer step, device image store, "
+                         "sweep envelope, D2H channel — is reused across "
+                         "scans, amortizing the per-process costs the batch "
+                         "CLI pays once per invocation (--testlist is "
+                         "ignored; scans resolve under --testpath)")
 parser.add_argument("--skip_gen", action="store_true",
                     help="skip stage A (reuse existing depth maps)")
 parser.add_argument("--skip_filter", action="store_true", help="skip stage B")
@@ -173,6 +182,93 @@ def load_variables(args, model):
     return load_torch_checkpoint(args.loadckpt)
 
 
+def serve_loop(args, model, run_filter, cam_subfolder, img_subfolder,
+               img_res, outdir_acq) -> None:
+    """One long-lived serving process: scan requests in, depth/mask/PLY out.
+
+    Generalizes the reference's batch CLI (/root/reference/eval.py:848-929)
+    to a request stream: each stdin line names a scan under --testpath; the
+    warm model, jitted/AOT executables, device image store, and planned
+    sweep envelope carry across requests (save_depth's ``session``), so the
+    per-process costs — D2H channel setup (30-300 s on this tunnel), ~20 s
+    XLA compile, envelope planning — are paid once for the whole stream.
+    The production shape for a fixed camera rig imaging a stream of bins.
+    """
+    import tempfile
+
+    variables = load_variables(args, model)
+    session: dict = {}
+    served = 0
+    views_total = 0.0
+    t_first_done = None  # sustained throughput excludes the warmup request
+    views_after_first = 0
+    print("SERVE ready: one scan name per line on stdin ('quit' ends)",
+          flush=True)
+    t_loop0 = time.time()
+    for line in sys.stdin:
+        scan = line.strip()
+        if not scan or scan == "quit":
+            break
+        t0 = time.time()
+        fd, tmplist = tempfile.mkstemp(suffix=".txt", text=True)
+        with os.fdopen(fd, "w") as f:
+            f.write(scan + "\n")
+        try:
+            stats = save_depth(
+                model,
+                variables,
+                dataset=args.dataset,
+                dataset_name=args.dataset_name,
+                testpath=args.testpath,
+                testlist=tmplist,
+                outdir=args.outdir,
+                NviewGen=args.NviewGen,
+                numdepth=args.numdepth,
+                interval_scale=args.interval_scale,
+                pairfile=args.pairfile,
+                cam_subfolder=cam_subfolder,
+                img_subfolder=img_subfolder,
+                img_res=img_res,
+                num_workers=args.num_workers,
+                debug_bitmask=args.debug_MVSnet,
+                debug_depth_gen=args.debug_depth_gen,
+                batch_size=args.batch_size,
+                img_cache=args.img_cache,
+                pallas_sweep=args.pallas_sweep,
+                device_img_store=not args.no_device_store,
+                aot_cache=args.aot_cache,
+                data_shards=args.data_shards,
+                session=session,
+            )
+        finally:
+            os.unlink(tmplist)
+        if not args.skip_filter:
+            run_filter(scan)
+        dt = time.time() - t0
+        served += 1
+        views_total += stats["n_views"]
+        if t_first_done is None:
+            t_first_done = time.time()
+        else:
+            views_after_first += stats["n_views"]
+        print(f"SERVED {scan}: {stats['n_views']} views in {dt:.2f}s "
+              f"({stats['n_views'] / dt:.3f} views/s this request)",
+              flush=True)
+    total = time.time() - t_loop0
+    line = {
+        "scans": served,
+        "views": int(views_total),
+        "wall_s": round(total, 2),
+        "views_per_s": round(views_total / total, 3) if total > 0 else None,
+    }
+    if t_first_done is not None and served > 1:
+        steady = time.time() - t_first_done
+        line["views_per_s_sustained"] = round(views_after_first / steady, 3)
+    import json
+
+    print("SERVE summary: " + json.dumps(line), flush=True)
+
+
 def main() -> None:
     args = parser.parse_args()
     print("argv:", sys.argv[1:])
@@ -230,6 +326,11 @@ def main() -> None:
             debug_depth_filter=args.debug_depth_filter,
             aot_cache=args.aot_cache,
         )
+
+    if args.serve:
+        serve_loop(args, model, run_filter, cam_subfolder, img_subfolder,
+                   img_res, outdir_acq)
+        return
 
     # Overlap stage B with stage A across scans: the device idles through
     # most of host-bound stage A, so each finished scan's filter/fusion

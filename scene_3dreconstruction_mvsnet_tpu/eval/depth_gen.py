@@ -225,8 +225,19 @@ def save_depth(
     on_scan_done=None,
     aot_cache: str | None = None,
     data_shards: int = 1,
+    session: dict | None = None,
 ) -> dict:
     """Run depth generation for every reference view. Returns timing stats.
+
+    ``session`` (serving mode, eval.py --serve): a dict owned by the caller
+    and passed to every save_depth call of a long-lived process. Warm state
+    is hoisted into it and reused across scans — the jitted/AOT-gated infer
+    step (keyed by model config + batch geometry, so a config change still
+    recompiles), the per-(scan, view) device image store, the u8 pack cache,
+    the planned sweep envelope, and the one-time D2H channel warmup. This is
+    the production serving shape the round-4 data demands: per-process costs
+    (D2H channel setup 30-300 s, ~20 s XLA compile) amortize across the scan
+    stream instead of recurring per scan.
 
     ``debug_depth_gen`` mirrors the reference's bitmask
     (/root/reference/eval.py:61-67) with headless dumps under
@@ -258,8 +269,12 @@ def save_depth(
         np.asarray(jnp.zeros((8,)) + 1)
         warm_stats["total_s"] = time.time() - t0
 
-    warm_thread = _threading.Thread(target=_d2h_warm, daemon=True)
-    warm_thread.start()
+    warm_thread = None
+    if session is None or not session.get("d2h_warmed"):
+        warm_thread = _threading.Thread(target=_d2h_warm, daemon=True)
+        warm_thread.start()
+        if session is not None:
+            session["d2h_warmed"] = True
 
     # wall-clock phase accounting (printed at the end): where stage A time
     # actually goes on this host — setup vs the overlapped dispatch loop
@@ -312,7 +327,14 @@ def save_depth(
         # dispatch falls back to the XLA sweep in-graph), never correctness.
         env_cache_path = None
         sweep_env = None
-        if aot_cache:
+        if session is not None and "sweep_env" in session:
+            # serving: the acquisition's rig geometry is fixed, so the first
+            # request's envelope serves the stream (a later out-of-envelope
+            # scan costs speed only — the dispatch falls back in-graph) and,
+            # critically, keeps repr(model) stable so the warm jitted infer
+            # is reused instead of recompiled per scan
+            sweep_env = session["sweep_env"]
+        elif aot_cache:
             import hashlib
             import json as _json
 
@@ -370,6 +392,8 @@ def save_depth(
                         [list(sweep_env[0]), sweep_env[1], sweep_env[2]], f
                     )
                 os.replace(tmp, env_cache_path)
+        if session is not None:
+            session["sweep_env"] = sweep_env
         model = model.clone(pallas_sweep_env=sweep_env)
     _mark("envelope_plan")
     if model.depth_chunk is None:
@@ -387,7 +411,16 @@ def save_depth(
     from ..utils.aot_cache import AotGate
 
     shard_fn = None
-    if data_shards > 1:
+    infer_key = ("infer", repr(model), data_shards, batch_size)
+    if session is not None and session.get("infer_key") == infer_key:
+        # warm serving: same model config + batch geometry as the previous
+        # request — reuse the jitted infer (and sharded variables) outright
+        infer = session["infer"]
+        shard_fn = session.get("shard_fn")
+        if shard_fn is not None:
+            variables = session["sharded_variables"]
+            device_img_store = False
+    elif data_shards > 1:
         # multi-device stage A: the view/batch axis sharded over 'data'
         # (parallel/sharding.py::make_sharded_infer). The per-(scan,view)
         # device image store is single-device by construction — skip it and
@@ -418,10 +451,27 @@ def save_depth(
             make_infer_step(model), aot_cache, ("infer", repr(model)),
             label="infer",
         )
-    store = _DeviceImageStore() if device_img_store else None
+    if session is not None and session.get("infer_key") != infer_key:
+        session["infer_key"] = infer_key
+        session["infer"] = infer
+        session["shard_fn"] = shard_fn
+        if shard_fn is not None:
+            session["sharded_variables"] = variables
+        session.pop("infer_views", None)  # geometry changed: rebuild lazily
+    if session is not None:
+        store = session.setdefault(
+            "store", _DeviceImageStore() if device_img_store else None
+        )
+        if not device_img_store:
+            store = None
+    else:
+        store = _DeviceImageStore() if device_img_store else None
     infer_views = None  # built lazily on the first store-served batch
+    if session is not None:
+        infer_views = session.get("infer_views")
 
-    warm_thread.join()
+    if warm_thread is not None:
+        warm_thread.join()
     if warm_stats.get("total_s", 0) > 1.0:
         print(f"d2h channel warmup: {warm_stats['total_s']:.2f}s total "
               f"(started at save_depth entry, overlapped with setup)")
@@ -592,7 +642,9 @@ def save_depth(
                         world, vertex_colors[-1],
                     )
 
-    pack_cache: dict = {}
+    pack_cache: dict = (
+        session.setdefault("pack_cache", {}) if session is not None else {}
+    )
     it = iter(BackgroundLoader(
         loader, transform=lambda b: _pack_u8(b, cache=pack_cache)
     ))
@@ -644,6 +696,8 @@ def save_depth(
                     aot_cache, ("infer_views", repr(model), batch_size, nv),
                     label="infer_views",
                 )
+                if session is not None:
+                    session["infer_views"] = infer_views
             call = (infer_views, (
                 variables, tuple(dev_imgs), jnp.asarray(projs_b),
                 jnp.asarray(dv_b),

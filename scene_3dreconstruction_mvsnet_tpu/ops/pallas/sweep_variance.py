@@ -356,11 +356,12 @@ def _sweep_kernel(
     ref_blk,        # [TILE_H, 16, TILE_W] f32 packed ref tile (VMEM block)
     woy_ref,        # [Vs, 1, 1, TILE_H, nXB] SMEM block
     base_ref,       # [Vs, 1, 1, TILE_H, nXB] SMEM block
-    nry_ref,        # [Vs, 1, 1, TILE_H, nXB] SMEM block (rowskip only)
+    # rowskip only: nry_ref [Vs, 1, 1, TILE_H, nXB] SMEM block, then
     # outputs (warps_ref only present when emit_warps)
     *refs,          # out_ref [1, TILE_H, 32, TILE_W] variance block,
                     # [warps_ref [Vs, 1, TILE_H, 32, TILE_W] per-view warps,]
                     # patch0/patch1 [Vs, pr, 16, pcp] VMEM, sems [2*Vs]
+                    # [wacc [4, 8, TILE_W] VMEM f32 (rowskip only)]
     Vs: int,
     V: int,
     H: int,
@@ -372,11 +373,12 @@ def _sweep_kernel(
     emit_warps: bool,
     rowskip: bool,
 ):
-    if emit_warps:
-        out_ref, warps_ref, patch0, patch1, sems = refs
-    else:
-        out_ref, patch0, patch1, sems = refs
-        warps_ref = None
+    refs = list(refs)
+    nry_ref = refs.pop(0) if rowskip else None
+    out_ref = refs.pop(0)
+    warps_ref = refs.pop(0) if emit_warps else None
+    patch0, patch1, sems = refs[:3]
+    wacc = refs[3] if rowskip else None
     yb = pl.program_id(0)
     xb = pl.program_id(1)
     d = pl.program_id(2)
@@ -483,27 +485,11 @@ def _sweep_kernel(
             wy0_r = w_y0[r : r + 1]
             wy1_r = w_y1[r : r + 1]
 
-            one_window = pcp <= 128
-
             def row_taps(cg, ry):
                 """One tap row for channel group ``cg`` at window row
                 woy+ry: gather both x taps and return the x-interpolated
-                (lo, hi) channel halves, NOT yet row-weighted.
-                ``one_window`` (STATIC): the whole patch fits one 128-lane
-                window (pcp <= 128) — one gather per tap, no clipped pair
-                + lane select."""
-                if pcp > 128 and one_window:
-                    win0 = patch0[
-                        v, woy + ry, pl.ds(cg * 8, 8),
-                        pl.ds(pl.multiple_of(base, 128), 128),
-                    ]
-                    win1 = patch1[
-                        v, woy + ry, pl.ds(cg * 8, 8),
-                        pl.ds(pl.multiple_of(base, 128), 128),
-                    ]
-                    g0 = jnp.take_along_axis(win0, i0_lo, axis=1)
-                    g1 = jnp.take_along_axis(win1, i1_lo, axis=1)
-                elif pcp > 128:
+                (lo, hi) channel halves, NOT yet row-weighted."""
+                if pcp > 128:
                     win0 = patch0[
                         v, woy + ry, pl.ds(cg * 8, 8),
                         pl.ds(pl.multiple_of(base, 128), 256),
@@ -535,7 +521,7 @@ def _sweep_kernel(
                 """Accumulate tap row ``ry`` into the 4 running row sums
                 (lo cg0, hi cg0, lo cg1, hi cg1). Every pass is a full
                 gather+fma sweep — the kernel's dominant cost. Both
-                channel groups run in one pass so the rowskip cond below
+                channel groups run in one pass so the rowskip gate below
                 fires once per skipped row, not once per channel group."""
                 # row weight: taps y0/y0+1 select window rows ry
                 yw = jnp.where(y0l == ry, wy0_r, 0.0) + jnp.where(
@@ -554,21 +540,34 @@ def _sweep_kernel(
             for ry in range(min(2, n_static) if rowskip else n_static):
                 w4 = row_pass(ry, w4)
             if rowskip and n_static > 2:
-                # data-dependent row skipping: plan_sweep ships the exact
+                # Data-dependent row skipping: plan_sweep ships the exact
                 # per-(v, d, row, xb) tap-row count (nry <= yspan_v); each
-                # row past the first two runs under a lax.cond, so
-                # positions whose window needs fewer rows skip the whole
-                # gather+fma pass. On the headline rotation rig 92-98% of
-                # positions need only 2 of yspan 3 rows — a 31.7%
-                # row-pass upper bound (scripts/kexp_rowskip_stats.py).
+                # row past the first two runs under a pl.when, so positions
+                # whose window needs fewer rows skip the whole gather+fma
+                # pass. On the headline rotation rig 92-98% of positions
+                # need only 2 of yspan 3 rows — a 31.7% row-pass upper
+                # bound (scripts/kexp_rowskip_stats.py).
+                #
+                # pl.when carries no values, so the gated passes accumulate
+                # through the wacc VMEM scratch: park the register sums,
+                # accumulate under the scalar branch, read back. A vector-
+                # valued lax.cond would keep everything in registers, but
+                # its Mosaic lowering hangs >280 s at compile on this stack
+                # (docs/ROUND4_NOTES.md; probe: scripts/kexp_cond_probe.py).
                 nry_dyn = nry_ref[v, 0, 0, r, xb]
+                for j in range(4):
+                    wacc[j] = jnp.broadcast_to(w4[j], (8, TILE_W))
                 for ry in range(2, n_static):
-                    w4 = lax.cond(
-                        nry_dyn > ry,
-                        functools.partial(row_pass, ry),
-                        lambda c: c,
-                        w4,
-                    )
+                    @pl.when(nry_dyn > ry)
+                    def _(ry=ry):
+                        yw = jnp.where(y0l == ry, wy0_r, 0.0) + jnp.where(
+                            y0l == ry - 1, wy1_r, 0.0
+                        )
+                        for cg in range(2):
+                            xlo, xhi = row_taps(cg, ry)
+                            wacc[2 * cg] = wacc[2 * cg] + xlo * yw
+                            wacc[2 * cg + 1] = wacc[2 * cg + 1] + xhi * yw
+                w4 = tuple(wacc[j] for j in range(4))
 
             for cg in range(2):
                 w_lo = jnp.broadcast_to(w4[2 * cg], (8, TILE_W))
@@ -638,16 +637,19 @@ def sweep_variance_pallas(
     backward needs (w_v - mean) per view.
 
     ``rowskip`` gates every tap row past the first two behind a per-
-    position ``lax.cond`` on the exact row count the plan computed —
-    positions that need fewer rows than the static envelope skip the
-    gather+fma pass entirely. Only pays when a view's yspan > 2 AND most
-    positions need fewer rows (rotation rigs); A/B on the live chip
-    before wiring as default.
+    position scalar ``pl.when`` on the exact row count the plan computed
+    (accumulating through a small VMEM scratch) — positions that need
+    fewer rows than the static envelope skip the gather+fma pass
+    entirely. Only pays when a view's yspan > 2 AND most positions need
+    fewer rows (rotation rigs); structurally a no-op (and compiled
+    without the gate or the nry plan input) when every yspan <= 2.
     """
     V, H, W, C = features.shape
     D = depth_values.shape[0]
     Vs = V - 1
     yspans = _yspans_tuple(yspan, Vs)
+    # all-yspan<=2 rigs have no gateable rows: compile the plain kernel
+    rowskip = bool(rowskip) and max(yspans) > 2
     nYB = -(-H // TILE_H)
     nXB = -(-W // TILE_W)
     Wp = -(-W // 2)
@@ -702,48 +704,23 @@ def sweep_variance_pallas(
             )
         )
 
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(nYB, nXB, D),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),   # p0 stays in HBM
-                pl.BlockSpec(memory_space=pltpu.ANY),   # p1 stays in HBM
-                pl.BlockSpec(
-                    (TILE_H, 16, TILE_W),
-                    lambda yb, xb, d, *refs: (yb, 0, xb),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (Vs, 1, 1, TILE_H, nXB),
-                    lambda yb, xb, d, *refs: (0, d, yb, 0, 0),
-                    memory_space=pltpu.SMEM,
-                ),
-                pl.BlockSpec(
-                    (Vs, 1, 1, TILE_H, nXB),
-                    lambda yb, xb, d, *refs: (0, d, yb, 0, 0),
-                    memory_space=pltpu.SMEM,
-                ),
-                pl.BlockSpec(
-                    (Vs, 1, 1, TILE_H, nXB),
-                    lambda yb, xb, d, *refs: (0, d, yb, 0, 0),
-                    memory_space=pltpu.SMEM,
-                ),
-            ],
-            out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((Vs, pr, 16, pcp), jnp.float32),
-                pltpu.VMEM((Vs, pr, 16, pcp), jnp.float32),
-                pltpu.SemaphoreType.DMA((2 * Vs,)),
-            ],
+    smem_plan_spec = pl.BlockSpec(
+        (Vs, 1, 1, TILE_H, nXB),
+        lambda yb, xb, d, *refs: (0, d, yb, 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),   # p0 stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),   # p1 stays in HBM
+        pl.BlockSpec(
+            (TILE_H, 16, TILE_W),
+            lambda yb, xb, d, *refs: (yb, 0, xb),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=out_shapes,
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=128 * 1024 * 1024,
-        ),
-    )(
+        smem_plan_spec,  # woy
+        smem_plan_spec,  # base
+    ]
+    operands = [
         rot,
         trans,
         (1.0 / depth_values).astype(jnp.float32),
@@ -754,8 +731,33 @@ def sweep_variance_pallas(
         refp,
         plan.woy.astype(jnp.int32),
         plan.base.astype(jnp.int32),
-        plan.nry.astype(jnp.int32),
-    )
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((Vs, pr, 16, pcp), jnp.float32),
+        pltpu.VMEM((Vs, pr, 16, pcp), jnp.float32),
+        pltpu.SemaphoreType.DMA((2 * Vs,)),
+    ]
+    if rowskip:
+        # per-position tap-row counts + the gated-pass accumulator scratch
+        in_specs.append(smem_plan_spec)  # nry
+        operands.append(plan.nry.astype(jnp.int32))
+        scratch_shapes.append(pltpu.VMEM((4, 8, TILE_W), jnp.float32))
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(nYB, nXB, D),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+    )(*operands)
     # [D, H, C, W] -> [D, H, W, C]
     var = jnp.transpose(out[0][:, :H, :, :W], (0, 1, 3, 2))
     if emit_warps:

@@ -129,6 +129,18 @@ def run_config(name, n_views, hw, ngen, nfilter, ckpt, workdir,
             m = re.search(pat, proc.stdout)
             return float(m.group(1)) if m else None
 
+        phases_str = (
+            re.search(r"stage A phases \(s\): (.*)", proc.stdout).group(1)
+            if re.search(r"stage A phases \(s\): ", proc.stdout) else None
+        )
+        phases = {}
+        if phases_str:
+            for kv in phases_str.split():
+                k, _, v = kv.partition("=")
+                try:
+                    phases[k] = phases.get(k, 0.0) + float(v)
+                except ValueError:
+                    pass
         res = {
             "stage_a_wall_s": grab(r"stage A wall: ([\d.]+)s"),
             "stage_b_wall_s": grab(r"stage B wall: ([\d.]+)s"),
@@ -137,23 +149,33 @@ def run_config(name, n_views, hw, ngen, nfilter, ckpt, workdir,
             "steady_gen_s_per_view": grab(r"\"steady_gen_time\": ([\d.]+)")
             or grab(r"Averaged generation time: ([\d.]+)"),
             "device_busy_pct": grab(r"stage A = ([\d.]+)%"),
-            # the axon tunnel's lazy D2H channel setup: per-process,
-            # 30-300 s variance, NOT a property of this code (see
-            # docs/ROUND4_NOTES.md); exposed remainder after overlap is in
-            # the d2h_warmup phase of stage_a_phases
-            "d2h_channel_setup_s": grab(r"d2h channel warmup: ([\d.]+)s"),
-            "stage_a_phases": (
-                re.search(r"stage A phases \(s\): (.*)", proc.stdout).group(1)
-                if re.search(r"stage A phases \(s\): ", proc.stdout) else None
-            ),
+            # The axon tunnel's lazy D2H channel setup: per-process,
+            # 30-300 s variance, NOT a property of this code (root cause in
+            # docs/ROUND4_NOTES.md). The warmup thread fronts it at stage A
+            # entry, overlapped with setup; 'd2h_channel_setup_s' is its
+            # total duration, 'd2h_exposed_s' the part that still blocked
+            # the pipeline (the d2h_warmup phase). Both default 0.0 when the
+            # channel came up in <1 s (healthy window).
+            "d2h_channel_setup_s": grab(r"d2h channel warmup: ([\d.]+)s") or 0.0,
+            "d2h_exposed_s": round(phases.get("d2h_warmup", 0.0), 2),
+            "stage_a_phases": phases_str,
             "views": n_views * n_scans,
             "config": f"{n_scans}x{n_views} views {H}x{W} D192 gen{ngen} "
                       f"filt{nfilter} bs{batch_size}",
         }
         if res["pipeline_wall_s"]:
+            # pipeline work = wall minus the exposed infrastructure draw —
+            # the number comparable across rounds/windows (the canonical
+            # BASELINE.md e2e metric); views/s on both for a naive reader
+            work = max(0.0, res["pipeline_wall_s"] - res["d2h_exposed_s"])
+            res["pipeline_work_s"] = round(work, 2)
             res["views_per_s_end_to_end"] = round(
                 n_views * n_scans / res["pipeline_wall_s"], 3
             )
+            if work > 0:
+                res["views_per_s_pipeline_work"] = round(
+                    n_views * n_scans / work, 3
+                )
         return res
 
     res = one_run(os.path.join(workdir, f"out_{name}"))

@@ -43,6 +43,11 @@ CHUNKS = [
     "tests/test_sweep_variance.py",
     "tests/test_train.py",
     "tests/test_warp_grad.py",
+    # the one-command accuracy-parity harness (both full pipelines on the
+    # synthetic stand-in; VERDICT r4 item 7 — regressions in the reference
+    # wrapper or the torch-ckpt importer must surface here, not on the day
+    # real weights arrive). Script chunks run as plain commands.
+    "scripts/parity_vs_torch.py --synthetic",
 ]
 
 
@@ -57,17 +62,24 @@ def main():
         home = tempfile.mkdtemp(prefix="coldhome_")
         env = dict(os.environ, HOME=home)
         env.pop("PALLAS_AXON_POOL_IPS", None)  # tests force CPU anyway
+        if f.startswith("scripts/"):
+            cmd = [sys.executable] + f.split()
+        else:
+            cmd = [sys.executable, "-m", "pytest", f, "-m", "slow", "-q",
+                   "--no-header", "-p", "no:cacheprovider"]
         t0 = time.time()
         try:
             proc = subprocess.run(
-                [sys.executable, "-m", "pytest", f, "-m", "slow", "-q",
-                 "--no-header", "-p", "no:cacheprovider"],
+                cmd,
                 capture_output=True, text=True, cwd=REPO, env=env,
                 timeout=args.budget_s + 300,
             )
             tail = proc.stdout.strip().splitlines()
             summary = tail[-1] if tail else "?"
-            ok = proc.returncode in (0, 5)  # 5 = no slow tests in the file
+            if f.startswith("scripts/"):
+                ok = proc.returncode == 0
+            else:
+                ok = proc.returncode in (0, 5)  # 5 = no slow tests in file
         except subprocess.TimeoutExpired:
             summary = f"TIMEOUT > {args.budget_s + 300:.0f}s"
             ok = False

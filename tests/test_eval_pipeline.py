@@ -608,3 +608,82 @@ def test_eval_cli_overlap_filter_two_scans(tmp_path):
                 pa = tmp_path / "ovl" / "acq" / scan / "mask" / f"{v:0>8}_{kind}.png"
                 pb = tmp_path / "seq" / "acq" / scan / "mask" / f"{v:0>8}_{kind}.png"
                 assert pa.read_bytes() == pb.read_bytes()
+
+
+@pytest.mark.slow
+def test_eval_cli_serve_matches_batch(tmp_path):
+    """eval.py --serve (scan requests streamed over stdin into ONE warm
+    process, save_depth session reuse) must produce byte-identical PLYs and
+    masks to the batch --testlist run of the same two scans."""
+    import jax
+    from scene_3dreconstruction_mvsnet_tpu.data.synthetic import (
+        make_eval_tree,
+        write_scan_list,
+    )
+    from scene_3dreconstruction_mvsnet_tpu.models import MVSNet
+    from scene_3dreconstruction_mvsnet_tpu.train import (
+        TrainState,
+        make_optimizer,
+        save_checkpoint,
+    )
+
+    root = tmp_path / "acq"
+    rig = SyntheticRig(n_views=3, img_hw=(64, 96), baseline=3.0)
+    make_eval_tree(str(root), scan="scan1", rig=rig, ndepths=16)
+    make_eval_tree(str(root), scan="scan2", rig=rig, ndepths=16)
+    write_scan_list(str(root / "test.txt"), ["scan1", "scan2"])
+
+    model = MVSNet()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 2, 64, 96, 3)),
+        jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)),
+        jnp.linspace(1.0, 2.0, 16)[None],
+    )
+    state = TrainState.create(variables, make_optimizer(lambda s: 1e-3))
+    ckpt_dir = save_checkpoint(str(tmp_path / "log"), 0, state)
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    base = [
+        sys.executable, os.path.join(repo, "eval.py"),
+        "--dataset", "dataloader_eval", "--dataset_name", "bds8",
+        "--testpath", str(root), "--loadckpt", ckpt_dir,
+        "--NviewGen", "3", "--NviewFilter", "3", "--numdepth", "16",
+        "--interval_scale", "1.0", "--photomask", "0.0",
+        "--geomask", "1", "--condmask_pixel", "6.0",
+        "--condmask_depth", "0.5", "--save_ply", "--num_workers", "0",
+        "--img_res", "64", "96", "--cam_subfolder", "Cameras",
+        "--img_subfolder", "Rectified/{}/rect_C{:0>3}_L00.png",
+    ]
+    proc = subprocess.run(
+        base + ["--testlist", str(root / "test.txt"),
+                "--outdir", str(tmp_path / "batch")],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+
+    proc = subprocess.run(
+        base + ["--serve", "--outdir", str(tmp_path / "serve")],
+        input="scan1\nscan2\nquit\n",
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "SERVED scan1" in proc.stdout and "SERVED scan2" in proc.stdout
+    assert "views_per_s_sustained" in proc.stdout
+    # warm-state reuse across requests: the infer step compiles once (the
+    # second request must reuse the session's jitted fn, not re-jit)
+    assert proc.stdout.count("SERVE ready") == 1
+
+    for scan_id, scan in (("001", "scan1"), ("002", "scan2")):
+        a = (tmp_path / "batch" / "acq" / f"mvsnet{scan_id}_l3.ply").read_bytes()
+        b = (tmp_path / "serve" / "acq" / f"mvsnet{scan_id}_l3.ply").read_bytes()
+        assert a == b
+        for v in range(3):
+            for kind in ("photo", "geo", "final"):
+                pa = tmp_path / "batch" / "acq" / scan / "mask" / f"{v:0>8}_{kind}.png"
+                pb = tmp_path / "serve" / "acq" / scan / "mask" / f"{v:0>8}_{kind}.png"
+                assert pa.read_bytes() == pb.read_bytes()
