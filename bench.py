@@ -23,7 +23,7 @@ import numpy as np
 
 V, H, W, D = 5, 864, 1152, 192
 WARMUP = 2
-ITERS = 5
+ITERS = 20
 
 
 def _look_at(eye, target, up=(0, 1, 0)):
@@ -123,9 +123,11 @@ def main():
     #    per-call timing overstates device time by ~25% at this config.
     # Method: run ITERS sustained iterations INSIDE one jit via lax.scan —
     # the carry perturbs the input every step (no caching/CSE) and depends
-    # on each output (no dead-code elimination). This measures sustained
-    # device throughput, which is the depthmaps/sec/chip the metric names;
-    # the reference CPU baseline is likewise free of client RTT.
+    # on each output (no dead-code elimination) — and subtract the measured
+    # one-per-dispatch RTT from each rep's wall (rounds 1-4 left RTT/ITERS
+    # inside the number: ~+5.9% at ITERS=5). This measures sustained device
+    # throughput, which is the depthmaps/sec/chip the metric names; the
+    # reference CPU baseline is likewise free of client RTT.
     @jax.jit
     def sustained(variables, imgs, proj, dv):
         def body(c, _):
@@ -135,11 +137,19 @@ def main():
         return outs
 
     float(jnp.sum(sustained(variables, imgs, proj, dv)))  # compile + warm
+    noop = jax.jit(lambda x: x + 1.0)
+    float(noop(jnp.float32(0.0)))
+    rtts = []
+    for _ in range(5):
+        t0 = time.time()
+        float(noop(jnp.float32(t0 % 1.0)))
+        rtts.append(time.time() - t0)
+    rtt = sorted(rtts)[2]
     best = float("inf")
     for _ in range(max(2, WARMUP)):
         t0 = time.time()
         float(jnp.sum(sustained(variables, imgs, proj, dv)))
-        best = min(best, (time.time() - t0) / ITERS)
+        best = min(best, max(0.0, time.time() - t0 - rtt) / ITERS)
     sec = best
     throughput = 1.0 / sec
 
@@ -165,6 +175,10 @@ def main():
         # only comparable within the same rig value)
         "rig": "rotation_ring49",
         "seconds_per_depthmap": round(sec, 4),
+        # r05 method fix: the one-per-dispatch tunnel RTT (measured, ~27 ms)
+        # is now subtracted from each rep's wall; rounds 1-4 amortized it
+        # over ITERS=5 (~+5.9% inflation of seconds_per_depthmap)
+        "timing": f"{ITERS} iters/dispatch, RTT {rtt * 1e3:.0f} ms subtracted",
         "platform": platform,
     }))
 

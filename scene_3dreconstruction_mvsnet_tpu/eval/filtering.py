@@ -275,6 +275,7 @@ def fuse_scan(
         jnp.float32(photomask), jnp.int32(geomask),
         jnp.float32(condmask_pixel), jnp.float32(condmask_depth),
     )
+    run_fuse = lambda *a: _fuse_scan_device(*a, ref_chunk=ck)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -284,9 +285,20 @@ def fuse_scan(
             jax.device_put(a, ref_sh if i in (4, 5, 6) else rep)
             for i, a in enumerate(fuse_args)
         )
-    if aot_cache is not None:
+        if jax.process_count() > 1:
+            # multi-process mesh (jax.distributed): the inferred P('data')
+            # outputs would not be fully addressable from any one process —
+            # replicate them (one small all-gather of the masks) so the
+            # np.asarray fetch below works on every host
+            run_fuse = jax.jit(
+                lambda *a: _fuse_scan_device(*a, ref_chunk=ck),
+                out_shardings=rep,
+            )
+    if aot_cache is not None and (mesh is None or jax.process_count() == 1):
         # compiled-executable cache: repeat scans of the same rig geometry
         # (serving) and fresh processes skip the fuse compile entirely.
+        # Bypassed on multi-process meshes (the cache stores single-process
+        # executables; run_fuse above carries the replicated out_shardings).
         # _fuse_scan_device takes ref_chunk as a static kwarg; present
         # load_or_compile with a shim that pins it (callable for the
         # cache-bypassed platforms, .lower() for the caching path).
@@ -305,9 +317,7 @@ def fuse_scan(
         )
         photo, geo, final, depth_avg = fuse_fn(*fuse_args)
     else:
-        photo, geo, final, depth_avg = _fuse_scan_device(
-            *fuse_args, ref_chunk=ck,
-        )
+        photo, geo, final, depth_avg = run_fuse(*fuse_args)
     photo, geo, final, depth_avg = (
         np.asarray(a)[:R] for a in (photo, geo, final, depth_avg)
     )

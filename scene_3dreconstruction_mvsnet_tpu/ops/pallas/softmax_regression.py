@@ -7,11 +7,21 @@ round-trips to HBM — each (H-tile, W-tile) block streams its D axis through
 VMEM once, producing depth and confidence maps directly.
 
 Index gathering is done without a gather: the truncated expected index is
-compared against a depth iota to build a one-hot mask, and the windowed sum
-is contracted against it (O(D) VPU work per pixel, no dynamic addressing).
+compared against the plane counter to build a window mask, and the 4-tap
+window sum is accumulated under it (O(D) VPU work per pixel, no dynamic
+addressing).
 
-The grid tiles (H, W); D stays whole inside the kernel (D <= ~512 fits VMEM
-comfortably at the 8x128 tile: D*8*128*4B = 1.6 MB at D=384).
+The kernel STREAMS the D axis with statically-unrolled per-plane (8, TILE_W)
+ops instead of materializing [D, TH, TW] values: whole-volume jnp ops on a
+192-plane block are 192-vreg values (vs 64 physical vregs), and the
+resulting spill traffic made the first version of this kernel ~20x slower
+than its compute floor (measured 2.57 ms at D192/216x288 on v5e against a
+~0.12 ms HBM floor). A lax.fori_loop variant was no better (2.92 ms — the
+per-iteration loop overhead at D x 3 passes x 81 tiles eats the win,
+scripts/kexp_vpu_ceiling.py); full static unroll keeps ~8 live vregs and
+straight-line code. exp is evaluated once per element (pass B stores
+e = exp(x - max) to a VMEM scratch; pass C re-reads it for the
+windowed-mass contraction).
 """
 
 from __future__ import annotations
@@ -20,37 +30,56 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(cost_ref, dv_ref, depth_ref, conf_ref):
-    """cost_ref: [D, TH, TW]; dv_ref: [D, 1]; outs: [TH, TW]."""
-    cost = cost_ref[:].astype(jnp.float32)  # [D, TH, TW]
-    D = cost.shape[0]
+def _kernel(cost_ref, dv_ref, depth_ref, conf_ref, e_ref):
+    """cost_ref: [D, TH, TW] VMEM; dv_ref: [D, 1] SMEM; outs: [TH, TW];
+    e_ref: [D, TH, TW] f32 VMEM scratch (unnormalized softmax numerators)."""
+    D = cost_ref.shape[0]
+    th, tw = depth_ref.shape
+    zero = jnp.zeros((th, tw), jnp.float32)
 
-    # numerically-stable softmax along D
-    m = jnp.max(cost, axis=0, keepdims=True)
-    e = jnp.exp(cost - m)
-    denom = jnp.sum(e, axis=0, keepdims=True)
-    prob = e / denom  # [D, TH, TW]
+    # pass A: running max over D (softmax stability); 8 parallel chains
+    # bound the dependency length at D/8 while keeping only 8 planes live
+    # (holding all D planes for a full tree is exactly the vreg spill this
+    # rewrite removes)
+    lanes = min(8, D)
+    accs = [cost_ref[d].astype(jnp.float32) for d in range(lanes)]
+    for d in range(lanes, D):
+        accs[d % lanes] = jnp.maximum(
+            accs[d % lanes], cost_ref[d].astype(jnp.float32)
+        )
+    while len(accs) > 1:
+        accs = [
+            jnp.maximum(accs[i], accs[i + 1]) if i + 1 < len(accs) else accs[i]
+            for i in range(0, len(accs), 2)
+        ]
+    m = accs[0]
 
-    dv = dv_ref[:].astype(jnp.float32)  # [D, 1]
-    depth_ref[:] = jnp.sum(prob * dv[:, :, None], axis=0)
+    # pass B: e = exp(x - m) once per element (stored for pass C), with the
+    # running sums the depth expectation and expected index need
+    s, dnum, inum = zero, zero, zero
+    for d in range(D):
+        e = jnp.exp(cost_ref[d].astype(jnp.float32) - m)
+        e_ref[d] = e
+        s = s + e
+        dnum = dnum + e * dv_ref[d, 0]
+        inum = inum + e * jnp.float32(d)
+    depth_ref[:] = dnum / s
 
-    # windowed sum of 4 along D with (1, 2) zero padding == shifted adds
-    zero = jnp.zeros_like(prob[:1])
-    pm1 = jnp.concatenate([zero, prob[: D - 1]], axis=0)
-    pp1 = jnp.concatenate([prob[1:], zero], axis=0)
-    pp2 = jnp.concatenate([prob[2:], zero, zero], axis=0)
-    win4 = pm1 + prob + pp1 + pp2  # [D, TH, TW]
+    # truncated expected index -> 4-tap window [idx-1, idx+2] mass
+    # (= the original prob[idx-1]+prob[idx]+prob[idx+1]+prob[idx+2] with
+    # zero padding: out-of-range planes simply never enter the loop)
+    idx = jnp.clip(inum / s, 0.0, D - 1.0).astype(jnp.int32)
 
-    # truncated expected index -> one-hot contraction (no gather)
-    iota_d = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 0)  # TPU iota is int
-    idx = jnp.sum(prob * iota_d.astype(jnp.float32), axis=0)  # [TH, TW]
-    idx = jnp.clip(idx, 0.0, D - 1.0).astype(jnp.int32)
-    onehot = (iota_d == idx[None]).astype(jnp.float32)
-    conf_ref[:] = jnp.sum(win4 * onehot, axis=0)
+    conf = zero
+    for d in range(D):
+        sel = ((d >= idx - 1) & (d <= idx + 2)).astype(jnp.float32)
+        conf = conf + e_ref[d] * sel
+    conf_ref[:] = conf / s
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "interpret"))
@@ -81,7 +110,7 @@ def fused_softmax_regression(
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (D, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+                    (D, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM
                 ),
             ],
             out_specs=[
@@ -96,6 +125,7 @@ def fused_softmax_regression(
                 jax.ShapeDtypeStruct((H, W), jnp.float32),
                 jax.ShapeDtypeStruct((H, W), jnp.float32),
             ],
+            scratch_shapes=[pltpu.VMEM((D, tile_h, tile_w), jnp.float32)],
             interpret=interpret,
         )(cost, dv[:, None])
 

@@ -191,12 +191,62 @@ def run_config(name, n_views, hw, ngen, nfilter, ckpt, workdir,
     return res
 
 
+def run_serve(name, n_views, hw, ngen, nfilter, ckpt, workdir,
+              batch_size, extra, n_scans):
+    """Serving row: ONE long-lived eval.py --serve process, scan requests
+    streamed over stdin (VERDICT r4 item 6). Reports sustained views/s
+    (excluding the first request, which carries compile + channel setup)."""
+    H, W = hw
+    root = os.path.join(workdir, f"acq_{name}")
+    build_tree(root, n_views, hw, ndepths=192, n_scans=n_scans)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    img_cache = os.path.join(workdir, f"imgcache_{name}")
+    cmd = [
+        sys.executable, os.path.join(repo, "eval.py"),
+        "--dataset", "dataloader_eval", "--dataset_name", "bds8",
+        "--testpath", root, "--loadckpt", ckpt,
+        "--outdir", os.path.join(workdir, f"out_{name}"),
+        "--NviewGen", str(ngen), "--NviewFilter", str(nfilter),
+        "--numdepth", "192", "--interval_scale", "1.0",
+        "--photomask", "0.3", "--geomask", "3",
+        "--condmask_pixel", "1.0", "--condmask_depth", "0.01",
+        "--save_ply", "--batch_size", str(batch_size),
+        "--num_workers", "4", "--img_cache", img_cache,
+        "--img_res", str(H), str(W),
+        "--cam_subfolder", "Cameras",
+        "--img_subfolder", "Rectified/{}/rect_C{:0>3}_L00.png",
+        "--serve",
+    ] + extra
+    requests = "".join(f"scan{i + 1}\n" for i in range(n_scans)) + "quit\n"
+    t0 = time.time()
+    proc = subprocess.run(cmd, input=requests, capture_output=True, text=True,
+                          timeout=3600)
+    total = time.time() - t0
+    if proc.returncode != 0:
+        print(proc.stdout[-4000:], proc.stderr[-4000:], file=sys.stderr)
+        raise SystemExit(f"{name}: eval.py --serve failed")
+    m = re.search(r"SERVE summary: (\{.*\})", proc.stdout)
+    summary = json.loads(m.group(1)) if m else {}
+    dm = re.search(r"d2h channel warmup: ([\d.]+)s", proc.stdout)
+    res = {
+        "mode": "serve",
+        "config": f"{n_scans} scan requests x {n_views} views {H}x{W} D192 "
+                  f"gen{ngen} filt{nfilter} bs{batch_size}, one process",
+        "proc_wall_s": round(total, 2),
+        "d2h_channel_setup_s": float(dm.group(1)) if dm else 0.0,
+        **summary,
+    }
+    print(json.dumps({name: res}))
+    return res
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--views", type=int, default=49,
                     help="views in the dtu_full scan (49 = BASELINE row)")
     ap.add_argument("--configs", nargs="*",
-                    default=["dtu_full", "bds8_ring", "bin", "multi_bin"])
+                    default=["dtu_full", "bds8_ring", "bin", "multi_bin",
+                             "serve"])
     ap.add_argument("--keep", action="store_true",
                     help="keep the workdir (default: tempdir, removed)")
     args = ap.parse_args()

@@ -61,6 +61,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=2,
                     help="epoch 0 = cold (compile), epoch 1 = steady row")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--no_device_probe", action="store_true",
+                    help="skip the device-only sustained-step probe "
+                         "(host/device split)")
     args = ap.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="bench_train_e2e_")
@@ -111,6 +114,7 @@ def main():
         raise SystemExit("no epoch wall lines found")
 
     steady = rows.get(max(rows))
+    m = re.search(r"d2h channel warmup: ([\d.]+)s", proc.stdout)
     res = {
         "config": f"DTU recipe bs{args.batch_size} 3v 512x640 D192 "
                   f"{'bf16+pallas' if on_tpu else 'f32 cpu'}",
@@ -121,7 +125,29 @@ def main():
         ),
         "proc_wall_s": round(proc_wall, 2),
         "fixture_gen_s": round(t_fixture, 2),
+        # the axon relay's per-process D2H channel setup (infra, labeled on
+        # every row like bench_e2e.json; 0.0 = healthy window)
+        "d2h_channel_setup_s": float(m.group(1)) if m else 0.0,
     }
+
+    if on_tpu and not args.no_device_probe:
+        # host/device split: sustained DEVICE-ONLY step at the same batch
+        # (lax.scan over the real state carry, no input pipeline) in a
+        # fresh process; host share = 1 - device/steady
+        probe = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts/bench_train_step.py"),
+             "--batch", str(args.batch_size), "--flat", "--sustained"],
+            capture_output=True, text=True, timeout=1800,
+        )
+        pm = re.search(r"sustained .*: ([\d.]+) s/step", probe.stdout)
+        if probe.returncode == 0 and pm:
+            dev = float(pm.group(1))
+            res["device_s_per_step"] = round(dev, 4)
+            res["host_share"] = round(1 - dev / res["steady_s_per_step"], 4)
+        else:
+            res["device_s_per_step"] = None
+            print("device probe failed:", probe.stdout[-1500:],
+                  probe.stderr[-500:], file=sys.stderr)
     print(json.dumps({"train_e2e": res}))
 
     out = os.path.join(REPO, "bench_train_e2e.json")
