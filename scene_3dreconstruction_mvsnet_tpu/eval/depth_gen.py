@@ -220,7 +220,7 @@ def save_depth(
     batch_size: int = 1,
     img_cache: str | None = None,
     pallas_sweep: bool = False,
-    env_samples: int = 4,
+    env_samples: int = 8,
     device_img_store: bool = True,
     on_scan_done=None,
     aot_cache: str | None = None,
@@ -374,11 +374,17 @@ def save_depth(
                     s["depth_values"], h4, w4,
                 )
                 env = merge_envelopes(env, e)
-            # per-view tap spans: each saved row is a full gather+fma pass
-            # in the kernel; margin +1 per slot (under-planning costs speed
-            # only — the dispatch falls back to the XLA sweep in-graph)
+            # Per-view tap spans: each row is a FULL gather+fma pass in the
+            # kernel — the dominant device cost (~60% of the forward), so a
+            # blanket +1 yspan margin costs ~[1/yspan] more sweep work on
+            # EVERY batch. Ship the sampled spans exactly: an unsampled
+            # view that needs one more row trips the in-graph XLA fallback
+            # for its batch (speed, never correctness), which the sampling
+            # spread makes rare. Margin stays on pr (patch rows are DMA
+            # size, not compute: +8 rows is ~25% more patch traffic at
+            # ~0.1 ms/scan) to keep the `covers` validity check robust.
             sweep_env = (
-                tuple(y + 1 for y in env["yspan"]),
+                env["yspan"],
                 -(-(env["pr"] + 8) // 8) * 8, env["pcp"],
             )
             print(

@@ -294,6 +294,15 @@ def main():
             batch_size=2 if on_tpu else 1, extra=fast, n_scans=6,
         )
 
+    if "serve" in args.configs:
+        # serving row (VERDICT r4 item 6): 10 scan requests into ONE
+        # long-lived process — sustained views/s excludes request 1
+        # (compile + channel setup); target >= 2x the single-scan rate
+        results["bin_serve_10scan"] = run_serve(
+            "serve", 4, (512, 640), 4, 3, ckpt, workdir,
+            batch_size=2 if on_tpu else 1, extra=fast, n_scans=10,
+        )
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "bench_e2e.json")
     merged = {}

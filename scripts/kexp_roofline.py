@@ -88,7 +88,9 @@ def sustained_ms(fn, args, iters=10, reps=3):
     for _ in range(reps):
         t0 = time.time()
         jax.block_until_ready(many(*args))
-        best = min(best, max(0.0, (time.time() - t0) * 1e3 - rtt) / iters)
+        # floor at 10 us/iter: a wall at/below the RTT means the true cost
+        # is unresolvable at this iters — report the floor, not 0
+        best = min(best, max(0.01, (time.time() - t0) * 1e3 - rtt) / iters)
     return best
 
 
