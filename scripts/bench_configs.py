@@ -60,7 +60,7 @@ def translation_rig(n_cams, baseline, K):
     return np.stack(projs)
 
 
-def bench_forward(name, V, H, W, D, projs, dv, iters=5, warmup=2):
+def bench_forward(name, V, H, W, D, projs, dv, iters=20, warmup=2):
     import jax
     import jax.numpy as jnp
 
@@ -107,11 +107,22 @@ def bench_forward(name, V, H, W, D, projs, dv, iters=5, warmup=2):
 
     imgs_d = _jax.device_put(jnp.asarray(imgs))
     float(jnp.sum(sustained(variables, imgs_d, proj, dv_j)))  # compile+warm
+    # r05 method fix (same as bench.py): measure the one-per-dispatch
+    # tunnel RTT with a noop jit and subtract it from each rep's wall —
+    # amortizing it over iters=5 left ~+27ms/5 inside the small configs
+    noop = _jax.jit(lambda x: x + 1.0)
+    float(noop(jnp.float32(0.0)))
+    rtts = []
+    for _ in range(5):
+        t0 = time.time()
+        float(noop(jnp.float32(t0 % 1.0)))
+        rtts.append(time.time() - t0)
+    rtt = sorted(rtts)[2]
     best = float("inf")
     for _ in range(max(2, warmup)):
         t0 = time.time()
         float(jnp.sum(sustained(variables, imgs_d, proj, dv_j)))
-        best = min(best, (time.time() - t0) / iters)
+        best = min(best, max(0.0, time.time() - t0 - rtt) / iters)
     return best
 
 

@@ -30,6 +30,7 @@ CHUNKS = [
     "tests/test_flat_cost_reg.py",
     "tests/test_flat_feature_net.py",
     "tests/test_multihost.py",
+    "tests/test_multihost_eval.py",
     # test_paired_sweep.py as ONE chunk blew a 900 s cold budget (measured
     # this round) — its three interpret-mode kernel tests each carry a
     # heavy cold compile and must run as separate chunks:
