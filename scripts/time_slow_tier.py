@@ -64,6 +64,10 @@ def main():
         env = dict(os.environ, HOME=home)
         env.pop("PALLAS_AXON_POOL_IPS", None)  # tests force CPU anyway
         if f.startswith("scripts/"):
+            # script chunks don't go through tests/conftest.py, so force the
+            # CPU backend explicitly — with the axon pool env popped, an
+            # inherited JAX_PLATFORMS=axon fails jax init outright
+            env["JAX_PLATFORMS"] = "cpu"
             cmd = [sys.executable] + f.split()
         else:
             cmd = [sys.executable, "-m", "pytest", f, "-m", "slow", "-q",
