@@ -1,5 +1,14 @@
 """Empirical VPU ceilings for the two Pallas hot spots (round-5 roofline).
 
+CAVEAT (round 5): this script's sustained_ms does NOT subtract the ~28 ms
+per-dispatch tunnel RTT, so at iters=10 anything under ~3 ms/iter reads as
+~RTT/10 — its "2.75 ms" for the streaming regression kernel was exactly
+that artifact; the kernel is really ~0.11 ms (scripts/
+kexp_regression_close.py, RTT-corrected at iters=50). The sweep
+microkernel numbers below (37-51 ms/iter) are far above the artifact floor
+and carry at most ~+3 ms of RTT each — the 59%-of-ceiling conclusion
+stands.
+
 1. Re-time the STREAMING softmax-regression kernel (the first version
    materialized [D, TH, TW] values -> ~190 vregs per op vs 64 physical;
    measured 2.57 ms at D192/216x288 against a ~0.12 ms HBM floor).
